@@ -1,0 +1,59 @@
+"""NeRF MLP used as the NeRF++ background model outside the unit sphere.
+
+Reference: ``network/field.py:212-305`` (nerf-pytorch lineage).  Input is the
+NeRF++ inverted-sphere parameterization ``(x/|x|, 1/|x|)`` (4-D) plus view
+directions; D=8, W=256, skip at layer 4, viewdirs head.  ``density`` is the
+fast path used for background alpha without the color head.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nunerf_tpu.fields.mlp import Dense
+from nunerf_tpu.ops.embedder import posenc
+
+
+class NeRFNetwork(nn.Module):
+    depth: int = 8
+    width: int = 256
+    multires: int = 10
+    multires_view: int = 4
+    skips: Sequence[int] = (4,)
+    rgb_bias_init: float = 0.0  # reference sets log(0.5) (renderer.py:172)
+
+    def setup(self):
+        self.pts_layers = [Dense(self.width, name=f"pts_{i}") for i in range(self.depth)]
+        self.alpha_layer = Dense(1, name="alpha")
+        self.feature_layer = Dense(self.width, name="feature")
+        self.views_layer = Dense(self.width // 2, name="views_0")
+        rb = float(self.rgb_bias_init)
+        self.rgb_layer = Dense(
+            3, name="rgb",
+            bias_init=lambda rng, shape, dtype=jnp.float32: jnp.full(shape, rb, dtype))
+
+    def _trunk(self, pts):
+        enc = posenc(pts, self.multires)
+        h = enc
+        for i in range(self.depth):
+            h = self.pts_layers[i](h)
+            h = jax.nn.relu(h)
+            if i in self.skips:
+                h = jnp.concatenate([enc, h], axis=-1)
+        return h
+
+    def __call__(self, pts, views):
+        h = self._trunk(pts)
+        alpha = self.alpha_layer(h)
+        feature = self.feature_layer(h)
+        hv = jnp.concatenate([feature, posenc(views, self.multires_view)], axis=-1)
+        hv = jax.nn.relu(self.views_layer(hv))
+        rgb = self.rgb_layer(hv)
+        return alpha, rgb
+
+    def density(self, pts):
+        return self.alpha_layer(self._trunk(pts))

@@ -1,0 +1,313 @@
+"""NeRO-style split-sum shading network with NU-NeRF transmission terms.
+
+Reference: ``network/field.py:557-783`` (stage-1 ``AppShadingNetwork``),
+``field.py:1320-1570`` (``AppShadingNetwork_SpecInner`` — same forward with
+different encoding frequencies), ``field.py:1127-1283`` (diffuse-only inner
+variant), and ``field.py:786-1016`` (``AppShadingNetwork_S2`` which reuses the
+frozen stage-1 heads at refractive interfaces — here the ``s2_shade`` method,
+applied with the frozen stage-1 parameter tree).
+
+Physics recap (stage-1 ``__call__``):
+  color = (diffuse + specular) * (1 - T)
+        + (R_schlick * spec_light0 + (1 - R_schlick) * refrac_light) * T
+where T is a learned transmission weight, R_schlick the Fresnel-Schlick
+reflection weight, and ``refrac_light`` a learned light field standing in for
+everything behind the glass.
+
+TPU design: every head is a 256-wide MLP stack -> pure MXU matmuls on
+[N, 256]-shaped batches; the FG LUT is an on-chip bilinear gather (no
+nvdiffrast); the IDE encoding is two dense contractions (see ops/ide.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nunerf_tpu.fields.mlp import Predictor
+from nunerf_tpu.ops.embedder import posenc, posenc_dim
+from nunerf_tpu.ops.fg_lut import fg_lookup, get_fg_lut
+from nunerf_tpu.ops.geometry import (
+    camera_plane_intersection,
+    get_sphere_intersection,
+    normalize,
+    offset_points_to_sphere,
+    schlick_weight,
+)
+from nunerf_tpu.ops.ide import ipe, make_ide_fn
+from nunerf_tpu.ops.srgb import linear_to_srgb
+
+LOG_HALF = float(np.log(0.5))
+
+
+class AppShadingNetwork(nn.Module):
+    """Configurable shader covering the stage-1 shader, the stage-2 inner
+    shaders (spec/diffuse variants), and — via ``s2_shade`` — the stage-2
+    interface shader that reuses these same (frozen) heads."""
+
+    human_light: bool = False
+    sphere_direction: bool = False
+    light_pos_freq: int = 6
+    inner_init: float = -0.95
+    roughness_init: float = 0.0
+    metallic_init: float = 0.0
+    light_exp_max: float = 3.0
+    refrac_freq: int = 6
+    refrac_exp_max: Optional[float] = None  # SpecInner uses -0.2 (field.py:1374)
+    diffuse_only: bool = False              # AppShadingNetwork_DiffuseInner
+
+    def setup(self):
+        self.metallic_predictor = Predictor(
+            1, final_bias=self.metallic_init if self.metallic_init != 0 else None,
+            name="metallic")
+        self.roughness_predictor = Predictor(
+            1, final_bias=self.roughness_init if self.roughness_init != 0 else None,
+            name="roughness")
+        self.albedo_predictor = Predictor(3, name="albedo")
+        self.sph_enc = make_ide_fn(5)
+
+        outer_in = 72 * 2 if self.sphere_direction else 72
+        del outer_in  # input dim is inferred by flax; kept for documentation
+        self.outer_light = Predictor(3, activation="exp", exp_max=self.light_exp_max,
+                                     final_bias=LOG_HALF, name="outer_light")
+        self.inner_light = Predictor(3, activation="exp", exp_max=self.light_exp_max,
+                                     final_bias=LOG_HALF, name="inner_light")
+        self.inner_weight = Predictor(1, activation="none",
+                                      final_bias=self.inner_init, name="inner_weight")
+        self.transmission_weight = Predictor(1, name="transmission_weight")
+        self.iors = Predictor(1, name="iors")  # vestigial but in the checkpoint
+        r_exp = self.light_exp_max if self.refrac_exp_max is None else self.refrac_exp_max
+        self.refrac_light = Predictor(3, activation="exp", exp_max=r_exp,
+                                      final_bias=LOG_HALF, name="refrac_light")
+        if self.human_light:
+            self.human_light_predictor = Predictor(
+                4, activation="exp", exp_max=0.0, final_bias=float(np.log(0.01)),
+                name="human_light")
+        self.fg_lut = jnp.asarray(get_fg_lut(256))
+
+    # ----- sub-predictions -------------------------------------------------
+
+    def predict_human_light(self, points, reflective, human_poses, roughness):
+        """field.py:618-634."""
+        inter, dists, hits = camera_plane_intersection(points, reflective, human_poses)
+        scale = 0.3
+        mean = inter[..., :2] * scale
+        var = roughness * (dists[:, None] * scale) ** 2
+        hits = hits & (jnp.linalg.norm(mean, axis=-1) < 1.5) & (dists > 0)
+        hits = hits.astype(mean.dtype)[..., None]
+        mean = mean * hits
+        var = jnp.broadcast_to(var * hits, mean.shape)
+        enc = ipe(mean, var, 0, 6)
+        hl = self.human_light_predictor(enc) * hits
+        human_lights, human_weights = hl[..., :3], jnp.clip(hl[..., 3:], 0.0, 1.0)
+        return human_lights, human_weights
+
+    def _sphere_dir_enc(self, points, direction, roughness):
+        sph_points = offset_points_to_sphere(points)
+        sph_points = normalize(
+            sph_points + direction * get_sphere_intersection(sph_points, direction))
+        return self.sph_enc(sph_points, roughness)
+
+    def predict_specular_lights(self, points, reflective, roughness, human_poses):
+        """field.py:636-667; also emits the zero-roughness light for the
+        transmission term."""
+        zero_r = jnp.zeros_like(roughness)
+        ref_rough_0 = self.sph_enc(reflective, zero_r)
+        ref_rough = self.sph_enc(reflective, roughness)
+        pts = posenc(points, self.light_pos_freq)
+        if self.sphere_direction:
+            sph = self._sphere_dir_enc(points, reflective, roughness)
+            direct_light = self.outer_light(jnp.concatenate([ref_rough, sph], -1))
+            direct_light_0 = self.outer_light(jnp.concatenate([ref_rough_0, sph], -1))
+        else:
+            direct_light = self.outer_light(ref_rough)
+            direct_light_0 = self.outer_light(ref_rough_0)
+
+        human_light, human_weight = 0.0, 0.0
+        if self.human_light:
+            human_light, human_weight = self.predict_human_light(
+                points, reflective, human_poses, roughness)
+
+        indirect_light = self.inner_light(jnp.concatenate([pts, ref_rough], -1))
+        indirect_light_0 = self.inner_light(jnp.concatenate([pts, ref_rough_0], -1))
+        ref_enc = posenc(reflective, 6)
+        occ_prob = self.inner_weight(jax.lax.stop_gradient(
+            jnp.concatenate([pts, ref_enc], -1)))
+        occ_prob = occ_prob * 0.5 + 0.5
+        occ_prob_ = jnp.clip(occ_prob, 0.0, 1.0)
+
+        light = (indirect_light * occ_prob_
+                 + (human_light * human_weight + direct_light * (1 - human_weight))
+                 * (1 - occ_prob_))
+        light_0 = (indirect_light_0 * occ_prob_
+                   + (human_light * human_weight + direct_light_0 * (1 - human_weight))
+                   * (1 - occ_prob_))
+        return light, light_0, occ_prob, indirect_light * occ_prob_, human_light * human_weight
+
+    def predict_diffuse_lights(self, points, normals):
+        """field.py:669-682 — outer light at max roughness (vMF prior)."""
+        roughness = jnp.ones((*normals.shape[:-1], 1), normals.dtype)
+        ref = self.sph_enc(normals, roughness)
+        if self.sphere_direction:
+            sph = self._sphere_dir_enc(points, normals, roughness)
+            return self.outer_light(jnp.concatenate([ref, sph], -1))
+        return self.outer_light(ref)
+
+    def predict_materials(self, points, feature_vectors):
+        fx = jnp.concatenate([feature_vectors, points], -1)
+        return (self.metallic_predictor(fx), self.roughness_predictor(fx),
+                self.albedo_predictor(fx))
+
+    def outer_light_for_dir(self, points, dirs):
+        """Direct outer light along ``dirs`` at zero roughness — used by the
+        stage-1 background/env consistency term (renderer.py:799-821)."""
+        zero_r = jnp.zeros((*dirs.shape[:-1], 1), dirs.dtype)
+        dir_enc = self.sph_enc(dirs, zero_r)
+        if self.sphere_direction:
+            sph = self._sphere_dir_enc(points, dirs, zero_r)
+            return self.outer_light(jnp.concatenate([dir_enc, sph], -1))
+        return self.outer_light(dir_enc)
+
+    # ----- stage-1 / inner-shader forward ---------------------------------
+
+    def __call__(self, points, normals, view_dirs, feature_vectors, human_poses=None,
+                 inter_results: bool = False):
+        normals = normalize(normals)
+        view_dirs = normalize(view_dirs)
+        reflective = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs
+        no_v = jnp.sum(normals * view_dirs, -1, keepdims=True)
+
+        fx = jnp.concatenate([feature_vectors, points], -1)
+        metallic = self.metallic_predictor(fx)
+        roughness = self.roughness_predictor(fx)
+        albedo = self.albedo_predictor(fx)
+
+        if self.diffuse_only:
+            # field.py:1244-1277 — pure diffuse inner shader
+            diffuse_light = self.predict_diffuse_lights(points, normals)
+            color = linear_to_srgb(albedo * diffuse_light)
+            return color, {"reflective": reflective}
+
+        transmission_weight = self.transmission_weight(fx)
+        diffuse_albedo = (1 - metallic) * albedo
+        diffuse_light = self.predict_diffuse_lights(points, normals)
+        diffuse_color = diffuse_albedo * diffuse_light
+        specular_albedo = 0.04 * (1 - metallic) + metallic * albedo
+
+        (specular_light, specular_light_0, occ_prob, indirect_light,
+         human_light) = self.predict_specular_lights(
+            points, reflective, roughness, human_poses)
+
+        reflection_weight = schlick_weight(no_v)
+        refraction_light = self.refrac_light(jnp.concatenate(
+            [posenc(points, self.refrac_freq), posenc(view_dirs, self.refrac_freq)], -1))
+
+        fg = fg_lookup(self.fg_lut, jnp.clip(no_v, 0.0, 1.0),
+                       jnp.clip(roughness, 0.0, 1.0))
+        specular_ref = specular_albedo * fg[..., 0:1] + fg[..., 1:2]
+        specular_color = specular_ref * specular_light
+
+        color = ((diffuse_color + specular_color) * (1 - transmission_weight)
+                 + (reflection_weight * specular_light_0
+                    + (1 - reflection_weight) * refraction_light) * transmission_weight)
+
+        diffuse_color_srgb = linear_to_srgb(diffuse_color)
+        specular_color_srgb = linear_to_srgb(specular_color)
+        color = linear_to_srgb(color)
+
+        occ_info = {
+            "reflective": reflective,
+            "occ_prob": occ_prob,
+            "transmission_weight": transmission_weight,
+            "metallic": metallic,
+        }
+        if not inter_results:
+            return color, occ_info
+
+        inter = {
+            "specular_albedo": specular_albedo,
+            "specular_ref": jnp.clip(specular_ref, 0.0, 1.0),
+            "specular_light": jnp.clip(linear_to_srgb(specular_light_0), 0.0, 1.0),
+            "specular_color": jnp.clip(
+                specular_color_srgb * (1 - transmission_weight)
+                + reflection_weight * specular_light_0 * transmission_weight, 0.0, 1.0),
+            "diffuse_albedo": diffuse_albedo,
+            "diffuse_light": jnp.clip(linear_to_srgb(diffuse_light), 0.0, 1.0),
+            "diffuse_color": jnp.clip(diffuse_color_srgb, 0.0, 1.0),
+            "metallic": metallic,
+            "transmission_weight": transmission_weight,
+            "roughness": roughness,
+            "occ_prob": jnp.clip(occ_prob, 0.0, 1.0),
+            "indirect_light": indirect_light,
+            "refraction_light": jnp.clip(
+                linear_to_srgb((1 - reflection_weight) * refraction_light
+                               * transmission_weight), 0.0, 1.0),
+            "reflection_weight": reflection_weight,
+        }
+        if self.human_light:
+            inter["human_light"] = linear_to_srgb(human_light)
+        return color, occ_info, inter
+
+    # ----- stage-2 interface shader (frozen stage-1 heads) -----------------
+
+    def s2_shade(self, points, normals, view_dirs, feature_vectors,
+                 is_internal: bool, sphere_direction: bool = True):
+        """AppShadingNetwork_S2.forward (field.py:909-1010): shading at a
+        glass interface during stage-2 tracing, reusing this network's heads.
+
+        color = (diffuse+spec)(1-T) + R_schlick*spec_light0*T, zeroed when
+        the interface is internal; also emits
+        ``refraction_coefficient = (1-R_schlick)*T`` for transmittance
+        chaining.  ``is_internal`` is static per path segment.
+        """
+        normals = normalize(normals)
+        view_dirs = normalize(view_dirs)
+        reflective = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs
+        no_v = jnp.sum(normals * view_dirs, -1, keepdims=True)
+
+        fx = jnp.concatenate([feature_vectors, points], -1)
+        metallic = self.metallic_predictor(fx)
+        roughness = self.roughness_predictor(fx)
+        albedo = self.albedo_predictor(fx)
+        transmission_weight = self.transmission_weight(fx)
+
+        diffuse_albedo = (1 - metallic) * albedo
+        # S2 uses sphere_direction=True by default regardless of the stage-1
+        # flag (field.py:789); parameter shapes only exist for the stage-1
+        # configuration, so honour the stage-1 flag for the encoding path.
+        roughness_one = jnp.ones_like(roughness)
+        ref_d = self.sph_enc(normals, roughness_one)
+        if self.sphere_direction:
+            sph = self._sphere_dir_enc(points, normals, roughness_one)
+            diffuse_light = self.outer_light(jnp.concatenate([ref_d, sph], -1))
+        else:
+            diffuse_light = self.outer_light(ref_d)
+        diffuse_color = diffuse_albedo * diffuse_light
+        specular_albedo = 0.04 * (1 - metallic) + metallic * albedo
+
+        (specular_light, specular_light_0, occ_prob, _indirect,
+         _human) = self.predict_specular_lights(points, reflective, roughness, None)
+
+        reflection_weight = schlick_weight(no_v)
+        fg = fg_lookup(self.fg_lut, jnp.clip(no_v, 0.0, 1.0),
+                       jnp.clip(roughness, 0.0, 1.0))
+        specular_ref = specular_albedo * fg[..., 0:1] + fg[..., 1:2]
+        specular_color = specular_ref * specular_light
+
+        color = ((diffuse_color + specular_color) * (1 - transmission_weight)
+                 + reflection_weight * specular_light_0 * transmission_weight)
+        if is_internal:
+            color = color * 0
+        color = linear_to_srgb(color)
+
+        occ_info = {
+            "reflective": reflective,
+            "occ_prob": occ_prob,
+            "transmission_weight": transmission_weight,
+            "refraction_coefficient": (1 - reflection_weight) * transmission_weight,
+        }
+        return color, occ_info

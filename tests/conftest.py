@@ -1,0 +1,26 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Sharding tests (DP over rays, psum grads) exercise the same code paths as the
+real TPU mesh; compile times stay small on CPU.
+
+The container's ``sitecustomize`` registers the axon TPU platform (importing
+jax at interpreter start) and sets ``JAX_PLATFORMS=axon``.  The backend is
+initialized lazily, so re-pinning the platform config here — before the first
+``jax.devices()``/computation — still wins.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, not the TPU tunnel")
+assert jax.device_count() == 8, "expected 8 virtual CPU devices"
