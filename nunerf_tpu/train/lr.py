@@ -1,0 +1,23 @@
+"""Learning-rate schedules (reference ``train/lr_common_manager.py:22-46``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def warm_up_cos_schedule(lr: float = 5e-4, end_warm: int = 5000,
+                         end_iter: int = 300000, alpha: float = 0.05):
+    """Linear warm-up then cosine decay to ``alpha * lr`` — an optax-style
+    schedule function usable directly in ``optax.adam``."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm_factor = step / end_warm
+        progress = (step - end_warm) / (end_iter - end_warm)
+        cos_factor = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+        return lr * jnp.where(step < end_warm, warm_factor, cos_factor)
+
+    return schedule
+
+
+name2lr_schedule = {"warm_up_cos": warm_up_cos_schedule}

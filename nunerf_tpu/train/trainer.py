@@ -1,0 +1,288 @@
+"""Training orchestration: the full stage-1/stage-2 train loop.
+
+Re-design of the reference ``train/trainer.py:21-239`` for the functional JAX
+stack: optax optimizer with a warm-up-cosine schedule, one jitted+sharded
+train step (rays over the ``data`` mesh axis, params replicated, gradient
+psums inserted by XLA), orbax checkpointing with best-PSNR model selection,
+chunked full-image validation, JSONL + tensorboard logging.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nunerf_tpu.config import TRAINER_DEFAULTS, merge_cfg
+from nunerf_tpu.data.database import get_database_split, parse_database_name
+from nunerf_tpu.data.ray_store import (
+    RayStore,
+    build_imgs_info,
+    construct_nerf_ray_batch,
+    construct_ray_batch,
+)
+from nunerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from nunerf_tpu.train.loss import compute_losses
+from nunerf_tpu.train.lr import warm_up_cos_schedule
+from nunerf_tpu.train.metrics import compute_psnr, compute_ssim, dump_validation_images
+
+
+class Logger:
+    """Scalar logging: stdout + JSONL + optional tensorboardX
+    (reference train/train_tools.py:97-112)."""
+
+    def __init__(self, log_dir: str, use_tb: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(log_dir, "train_log.jsonl"), "a")
+        self.tb = None
+        if use_tb:
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb = SummaryWriter(log_dir)
+            except Exception:
+                self.tb = None
+
+    def log(self, scalars: Dict[str, float], step: int, prefix: str = "train"):
+        rec = {"step": step, "prefix": prefix}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(f"{prefix}/{k}", float(v), step)
+
+
+def save_checkpoint(path: str, step: int, params, opt_state, best_para: float):
+    """Checkpoint contract mirroring the reference's
+    {step, best_para, network_state_dict, optimizer_state_dict}
+    (train/trainer.py:218-225), serialized with flax msgpack."""
+    from flax import serialization
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    blob = {
+        "step": step,
+        "best_para": best_para,
+        "params": jax.device_get(params),
+        "opt_state": serialization.to_bytes(jax.device_get(opt_state)),
+    }
+    import pickle
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, opt_state_template=None):
+    import pickle
+    from flax import serialization
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    opt_state = blob["opt_state"]
+    if opt_state_template is not None and isinstance(opt_state, bytes):
+        opt_state = serialization.from_bytes(opt_state_template, opt_state)
+    return blob["step"], blob["params"], opt_state, blob.get("best_para", 0.0)
+
+
+class Trainer:
+    """End-to-end trainer; covers both stage-1 (``network: shape``) and
+    stage-2 (``network: stage2``) configs, both thickness modes
+    (run_training.py:16-20 dispatch)."""
+
+    def __init__(self, cfg: Dict[str, Any], n_devices: Optional[int] = None):
+        self.cfg = merge_cfg(TRAINER_DEFAULTS, cfg)
+        self.name = self.cfg["name"]
+        self.model_dir = os.path.join(self.cfg["model_dir"], self.name)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.ckpt_path = os.path.join(self.model_dir, "model.ckpt")
+        self.best_ckpt_path = os.path.join(self.model_dir, "model_best.ckpt")
+        self.logger = Logger(self.model_dir)
+
+        self.mesh = make_mesh(n_devices)
+        self._build_network()
+        self._build_dataset()
+        self._build_optimizer()
+        self._build_train_step()
+
+    # ------------------------------------------------------------------
+    def _build_network(self):
+        network = self.cfg.get("network", "shape")
+        if network == "shape":
+            from nunerf_tpu.models.stage1 import ShapeRenderer
+            self.renderer = ShapeRenderer(self.cfg)
+        elif network == "stage2":
+            from nunerf_tpu.models.stage2 import Stage2Renderer
+            self.renderer = Stage2Renderer(self.cfg)
+        else:
+            raise NotImplementedError(network)
+        rng = jax.random.PRNGKey(self.cfg["random_seed"])
+        self.params = replicate(self.renderer.init_params(rng), self.mesh)
+
+    def _build_dataset(self):
+        cfg = self.renderer.cfg
+        self.database = parse_database_name(cfg["database_name"], cfg["dataset_dir"])
+        self.train_ids, self.test_ids = get_database_split(self.database)
+        train_info = build_imgs_info(self.database, self.train_ids,
+                                     with_mask=True)
+        if cfg["is_nerf"]:
+            batch, h, w = construct_nerf_ray_batch(train_info)
+        else:
+            batch, h, w = construct_ray_batch(train_info,
+                                              cfg.get("fixed_camera", False))
+        extra = self.renderer.prepare_train_batch(batch) if hasattr(
+            self.renderer, "prepare_train_batch") else batch
+        self.train_store = RayStore(extra, cfg["train_ray_num"],
+                                    seed=self.cfg["random_seed"])
+        self.train_hw = (h, w)
+        self.val_info = build_imgs_info(self.database, self.test_ids,
+                                        with_mask=True)
+
+    def _build_optimizer(self):
+        lr_cfg = dict(self.cfg.get("lr_cfg") or {})
+        lr_cfg.setdefault("end_iter", 300000)
+        self.schedule = warm_up_cos_schedule(
+            lr=lr_cfg.get("lr", 5e-4), end_warm=lr_cfg.get("end_warm", 5000),
+            end_iter=lr_cfg["end_iter"])
+        self.optimizer = optax.adam(learning_rate=self.schedule)
+        self.opt_state = replicate(self.optimizer.init(self.params), self.mesh)
+
+    def _build_train_step(self):
+        renderer, cfg = self.renderer, self.renderer.cfg
+
+        def loss_fn(params, batch, rng, step):
+            outputs = renderer.train_outputs(params, batch, rng, step)
+            terms = compute_losses(outputs, batch, step, cfg)
+            return terms["loss_total"], terms
+
+        def train_step(params, opt_state, batch, rng, step):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, terms), grads = grad_fn(params, batch, rng, step)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, terms
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def render_eval(params, batch, rng, step):
+            return renderer.test_outputs(params, batch, rng, step)
+
+        self.render_eval = jax.jit(render_eval)
+
+    # ------------------------------------------------------------------
+    def _load_if_exists(self):
+        if os.path.exists(self.ckpt_path):
+            step, params, opt_state, best = load_checkpoint(
+                self.ckpt_path, jax.device_get(self.opt_state))
+            self.params = replicate(params, self.mesh)
+            self.opt_state = replicate(opt_state, self.mesh)
+            print(f"resumed from {self.ckpt_path} at step {step}")
+            return step, best
+        return 0, 0.0
+
+    def run(self):
+        cfg = self.cfg
+        start_step, best_para = self._load_if_exists()
+        rng = jax.random.PRNGKey(cfg["random_seed"] + 1)
+        t0 = time.time()
+        ema: Dict[str, float] = {}
+
+        for step in range(start_step, cfg["total_step"]):
+            batch = shard_batch(self.train_store.next_batch(), self.mesh)
+            rng, sub = jax.random.split(rng)
+            self.params, self.opt_state, terms = self.train_step(
+                self.params, self.opt_state, batch, sub,
+                jnp.asarray(step, jnp.int32))
+
+            if step % cfg["train_log_step"] == 0:
+                terms = jax.device_get(terms)
+                scalars = {k: float(np.mean(v)) for k, v in terms.items()}
+                scalars["lr"] = float(self.schedule(step))
+                scalars["rays_per_sec"] = (
+                    cfg["train_log_step"] * self.renderer.cfg["train_ray_num"]
+                    / max(time.time() - t0, 1e-6)) if step > start_step else 0.0
+                t0 = time.time()
+                self.logger.log(scalars, step)
+
+            if (step + 1) % cfg["val_interval"] == 0 or (step + 1) == cfg["total_step"]:
+                rng, sub = jax.random.split(rng)
+                key_metric = self.validate(step + 1, sub)
+                if key_metric >= best_para:
+                    best_para = key_metric
+                    save_checkpoint(self.best_ckpt_path, step + 1, self.params,
+                                    self.opt_state, best_para)
+            if (step + 1) % cfg["save_interval"] == 0:
+                save_checkpoint(self.ckpt_path, step + 1, self.params,
+                                self.opt_state, best_para)
+
+        save_checkpoint(self.ckpt_path, cfg["total_step"], self.params,
+                        self.opt_state, best_para)
+        return best_para
+
+    # ------------------------------------------------------------------
+    def validate(self, step: int, rng) -> float:
+        """Chunked full-image validation (train/train_valid.py:19-53)."""
+        cfg = self.renderer.cfg
+        ratio = cfg.get("downsample_ratio", 1.0)
+        info = dict(self.val_info)
+        if cfg.get("test_downsample_ratio", True) and ratio != 1.0:
+            import cv2
+            imgs, Ks = [], []
+            for i in range(info["imgs"].shape[0]):
+                h, w = info["imgs"].shape[1:3]
+                dh, dw = int(h * ratio), int(w * ratio)
+                imgs.append(cv2.resize(info["imgs"][i], (dw, dh),
+                                       interpolation=cv2.INTER_LINEAR))
+                Ks.append(np.diag([dw / w, dh / h, 1]).astype(np.float32)
+                          @ info["Ks"][i])
+            info = {**info, "imgs": np.stack(imgs, 0), "Ks": np.stack(Ks, 0),
+                    "masks": np.stack([
+                        cv2.resize(info["masks"][i], (dw, dh),
+                                   interpolation=cv2.INTER_NEAREST)
+                        for i in range(info["masks"].shape[0])], 0)}
+
+        if cfg["is_nerf"]:
+            batch, h, w = construct_nerf_ray_batch(info)
+        else:
+            batch, h, w = construct_ray_batch(info, cfg.get("fixed_camera", False))
+
+        trn = cfg["test_ray_num"]
+        rn = batch["rays_o"].shape[0]
+        # pad to a multiple of chunk for fixed shapes
+        pad = (-rn) % trn
+        chunks = []
+        for i0 in range(0, rn + pad, trn):
+            cur = {}
+            for k, v in batch.items():
+                sl = v[i0:i0 + trn]
+                if sl.shape[0] < trn:
+                    reps = trn - sl.shape[0]
+                    sl = np.concatenate([sl, np.repeat(sl[-1:], reps, 0)], 0)
+                cur[k] = sl
+            cur = shard_batch(cur, self.mesh)
+            out = self.render_eval(self.params, cur, rng,
+                                   jnp.asarray(step, jnp.int32))
+            chunks.append(jax.device_get(out))
+
+        outputs = {}
+        for k in chunks[0]:
+            v = np.concatenate([np.atleast_1d(np.asarray(c[k])) for c in chunks], 0)
+            outputs[k] = v[:rn]
+        outputs["gt_rgb"] = batch["rgbs"]
+
+        psnr = compute_psnr(batch["rgbs"], outputs["ray_rgb"])
+        ssim = compute_ssim(batch["rgbs"].reshape(h, w, 3),
+                            outputs["ray_rgb"].reshape(h, w, 3))
+        self.logger.log({"psnr": psnr, "ssim": ssim}, step, prefix="val")
+        try:
+            dump_validation_images(outputs, h, w,
+                                   os.path.join("data", "train_vis", self.name),
+                                   self.name, step, 0)
+        except Exception as e:  # vis failures must not kill training
+            print(f"validation dump failed: {e}")
+        print(f"[val] step {step} psnr {psnr:.3f} ssim {ssim:.4f}")
+        return psnr
