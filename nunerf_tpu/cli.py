@@ -1,0 +1,200 @@
+"""Command-line entry points.
+
+Mirrors the reference scripts: ``run_training.py``, ``extract_mesh_stage1.py``,
+``extract_mesh_stage2.py``, ``render_mask.py``, ``mask_erosion.py``,
+``postprocess_stage2_mesh.py``, ``relight.py`` — unified as subcommands:
+
+    python -m nunerf_tpu.cli train --cfg configs/shape/nerf/spherepot.yaml
+    python -m nunerf_tpu.cli extract-mesh-stage1 --cfg ... --resolution 1024
+    python -m nunerf_tpu.cli extract-mesh-stage2 --cfg ... --resolution 256
+    python -m nunerf_tpu.cli render-mask --cfg ... --mesh_path mesh.ply
+    python -m nunerf_tpu.cli mask-erosion --cfg ... [--erosion 15]
+    python -m nunerf_tpu.cli postprocess-stage2 --input in.ply --outer outer.ply
+    python -m nunerf_tpu.cli relight --cfg ... --mesh mesh.ply
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def cmd_train(args):
+    from nunerf_tpu.config import load_cfg
+    from nunerf_tpu.train.trainer import Trainer
+
+    cfg = load_cfg(args.cfg)
+    # zero_thickness selects the trainer pair in the reference
+    # (run_training.py:16-20); here both modes share one Trainer.
+    trainer = Trainer(cfg)
+    trainer.run()
+
+
+def cmd_extract_mesh_stage1(args):
+    """extract_mesh_stage1.py:15-59: marching cubes on the stage-1 SDF."""
+    import jax
+    from nunerf_tpu.config import load_cfg
+    from nunerf_tpu.models.stage1 import ShapeRenderer
+    from nunerf_tpu.train.trainer import load_checkpoint
+    from nunerf_tpu.tracing.mesh_ops import extract_geometry, save_ply, isotropic_remesh
+
+    cfg = load_cfg(args.cfg)
+    renderer = ShapeRenderer(cfg)
+    name = cfg["name"]
+    ckpt = args.ckpt or os.path.join("data/model", name, "model.ckpt")
+    step, params, _, _ = load_checkpoint(ckpt)
+
+    def sdf_fn(pts):
+        return np.asarray(renderer.sdf(params, pts)[..., 0])
+
+    verts, tris = extract_geometry(sdf_fn, resolution=args.resolution,
+                                   bound=1.0, threshold=0.0, outside_val=1.0)
+    os.makedirs("data/meshes", exist_ok=True)
+    out = f"data/meshes/{name}-{step}.ply"
+    # reference flips face orientation before export (extract_mesh_stage1.py:44)
+    save_ply(out, verts, tris[:, ::-1])
+    verts_s, tris_s = isotropic_remesh(verts, tris[:, ::-1])
+    save_ply(f"data/meshes/{name}-{step}_simplified.ply", verts_s, tris_s)
+    print(f"wrote {out} ({verts.shape[0]} verts) + simplified")
+
+
+def cmd_extract_mesh_stage2(args):
+    """extract_mesh_stage2.py:39-58: inner SDF where outer SDF < 0."""
+    from nunerf_tpu.config import load_cfg
+    from nunerf_tpu.models.stage2 import Stage2Renderer
+    from nunerf_tpu.train.trainer import load_checkpoint
+    from nunerf_tpu.tracing.mesh_ops import extract_geometry, save_ply
+
+    cfg = load_cfg(args.cfg)
+    renderer = Stage2Renderer(cfg)
+    name = cfg["name"]
+    ckpt = args.ckpt or os.path.join("data/model", name, "model.ckpt")
+    step, params, _, _ = load_checkpoint(ckpt)
+
+    def sdf_fn(pts):
+        inner = np.asarray(renderer.inner_sdf(params, pts)[..., 0])
+        outer = np.asarray(renderer.stage1_sdf(pts)[..., 0])
+        return np.where(outer < 0, inner, 1.0)
+
+    verts, tris = extract_geometry(sdf_fn, resolution=args.resolution,
+                                   bound=1.0, threshold=0.0, outside_val=1.0)
+    os.makedirs("data/meshes", exist_ok=True)
+    out = f"data/meshes/{name}-{step}-inner.ply"
+    save_ply(out, verts, tris[:, ::-1])
+    print(f"wrote {out} ({verts.shape[0]} verts)")
+
+
+def cmd_render_mask(args):
+    """render_mask.py: rasterize outer-mesh hit masks for every train view."""
+    from nunerf_tpu.config import load_cfg
+    from nunerf_tpu.tools.render_mask import render_masks
+
+    cfg = load_cfg(args.cfg)
+    render_masks(cfg, args.mesh_path)
+
+
+def cmd_mask_erosion(args):
+    """mask_erosion.py:29-35: erode + inverted-original union."""
+    from nunerf_tpu.config import load_cfg
+    from nunerf_tpu.tools.render_mask import erode_masks
+
+    cfg = load_cfg(args.cfg)
+    erode_masks(cfg, erosion=args.erosion)
+
+
+def cmd_postprocess_stage2(args):
+    """postprocess_stage2_mesh.py:9-26: drop inner faces near the outer mesh."""
+    from nunerf_tpu.tracing.mesh_ops import load_ply, save_ply
+    from nunerf_tpu.tracing.scene import Scene
+
+    verts, tris = load_ply(args.input)
+    outer = Scene(args.outer)
+    centers = verts[tris].mean(1)
+    d = outer.unsigned_distance(centers)
+    keep = d > args.threshold
+    save_ply(args.output or args.input.replace(".ply", "_post.ply"),
+             verts, tris[keep])
+    print(f"kept {keep.sum()}/{len(tris)} faces")
+
+
+def cmd_relight(args):
+    """relight.py: export per-vertex materials (+ optional blender driver)."""
+    from nunerf_tpu.config import load_cfg
+    from nunerf_tpu.models.stage1 import ShapeRenderer
+    from nunerf_tpu.train.trainer import load_checkpoint
+    from nunerf_tpu.tracing.mesh_ops import load_ply
+
+    cfg = load_cfg(args.cfg)
+    renderer = ShapeRenderer(cfg)
+    step, params, _, _ = load_checkpoint(args.ckpt)
+    verts, _ = load_ply(args.mesh)
+
+    import jax.numpy as jnp
+    out = {"metallic": [], "roughness": [], "albedo": []}
+    for i in range(0, len(verts), 8192):
+        chunk = jnp.asarray(verts[i:i + 8192], jnp.float32)
+        feats = renderer.sdf_net.apply(params["sdf"], chunk)[:, 1:]
+        m, r, a = renderer.color_net.apply(
+            params["shade"], chunk, feats,
+            method=type(renderer.color_net).predict_materials)
+        out["metallic"].append(np.asarray(m))
+        out["roughness"].append(np.asarray(r))
+        out["albedo"].append(np.asarray(a))
+    os.makedirs(args.output, exist_ok=True)
+    for k, v in out.items():
+        np.save(os.path.join(args.output, f"{k}.npy"), np.concatenate(v, 0))
+    print(f"materials written to {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="nunerf_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("train")
+    sp.add_argument("--cfg", required=True)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("extract-mesh-stage1")
+    sp.add_argument("--cfg", required=True)
+    sp.add_argument("--resolution", type=int, default=1024)
+    sp.add_argument("--ckpt", default=None)
+    sp.set_defaults(fn=cmd_extract_mesh_stage1)
+
+    sp = sub.add_parser("extract-mesh-stage2")
+    sp.add_argument("--cfg", required=True)
+    sp.add_argument("--resolution", type=int, default=256)
+    sp.add_argument("--ckpt", default=None)
+    sp.set_defaults(fn=cmd_extract_mesh_stage2)
+
+    sp = sub.add_parser("render-mask")
+    sp.add_argument("--cfg", required=True)
+    sp.add_argument("--mesh_path", required=True)
+    sp.set_defaults(fn=cmd_render_mask)
+
+    sp = sub.add_parser("mask-erosion")
+    sp.add_argument("--cfg", required=True)
+    sp.add_argument("--erosion", type=int, default=15)
+    sp.set_defaults(fn=cmd_mask_erosion)
+
+    sp = sub.add_parser("postprocess-stage2")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--outer", required=True)
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--threshold", type=float, default=0.055)
+    sp.set_defaults(fn=cmd_postprocess_stage2)
+
+    sp = sub.add_parser("relight")
+    sp.add_argument("--cfg", required=True)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--mesh", required=True)
+    sp.add_argument("--output", default="data/materials")
+    sp.set_defaults(fn=cmd_relight)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

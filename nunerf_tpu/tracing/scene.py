@@ -1,0 +1,139 @@
+"""Differentiable mesh scene: the stage-2 tracing substrate.
+
+Re-design of the reference ``Scene`` (``network/DiffRender.py:318-608``): mesh
+load + per-vertex angle-weighted normals + Gaussian curvature (init_VN :342-360),
+closest-hit queries, and the differentiable hit: a non-differentiable on-chip
+closest-hit sweep followed by differentiable Möller–Trumbore re-intersection
+against the hit triangle, interpolating vertex normal and curvature
+(Dintersect :539-549).
+
+Everything the jitted path touches is a fixed-shape jnp array held on device;
+the host side only runs at construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nunerf_tpu.ops.geometry import normalize
+from nunerf_tpu.tracing.intersect import (
+    MISS_T,
+    Hit,
+    diff_intersect,
+    pad_triangles,
+    ray_mesh_intersect,
+)
+from nunerf_tpu.tracing.mesh_ops import load_ply, vertex_normals_curvature
+
+
+class Scene:
+    def __init__(self, mesh: Union[str, Tuple[np.ndarray, np.ndarray]],
+                 tile: int = 2048):
+        if isinstance(mesh, str):
+            verts, tris = load_ply(mesh)
+        else:
+            verts, tris = mesh
+        self.verts_np = np.asarray(verts, np.float32)
+        self.tris_np = np.asarray(tris, np.int32)
+        normals, curvature = vertex_normals_curvature(self.verts_np, self.tris_np)
+        self.tile = tile
+
+        v0, e1, e2 = pad_triangles(self.verts_np, self.tris_np, tile)
+        self.v0 = jnp.asarray(v0)
+        self.e1 = jnp.asarray(e1)
+        self.e2 = jnp.asarray(e2)
+        self.verts = jnp.asarray(self.verts_np)
+        self.tris = jnp.asarray(self.tris_np)
+        self.vertex_normals = jnp.asarray(normals)
+        self.vertex_curvature = jnp.asarray(curvature)
+
+    # ------------------------------------------------------------------
+    def intersect(self, rays_o, rays_d) -> Hit:
+        """Non-differentiable closest-hit query (OptiX stand-in)."""
+        return ray_mesh_intersect(rays_o, rays_d, self.v0, self.e1, self.e2,
+                                  tile=self.tile)
+
+    def dintersect(self, rays_o, rays_d) -> Dict[str, jnp.ndarray]:
+        """Differentiable intersection (DiffRender.py:539-549 pattern).
+
+        Returns dict: pos [R,3], normal (interp., normalized, flipped toward
+        the ray origin side) [R,3], geo_normal [R,3], curvature [R,1],
+        t [R,1], hit [R] bool.  Missed lanes carry safe dummy values.
+        """
+        hit = self.intersect(rays_o, rays_d)
+        tri = jnp.take(self.tris, hit.tri_idx, axis=0)  # [R,3]
+        tv0 = jnp.take(self.verts, tri[:, 0], axis=0)
+        tv1 = jnp.take(self.verts, tri[:, 1], axis=0)
+        tv2 = jnp.take(self.verts, tri[:, 2], axis=0)
+
+        t, u, v, valid = diff_intersect(rays_o, rays_d, tv0, tv1, tv2)
+        w = 1.0 - u - v
+        n0 = jnp.take(self.vertex_normals, tri[:, 0], axis=0)
+        n1 = jnp.take(self.vertex_normals, tri[:, 1], axis=0)
+        n2 = jnp.take(self.vertex_normals, tri[:, 2], axis=0)
+        normal = normalize(w * n0 + u * n1 + v * n2)
+        c0 = jnp.take(self.vertex_curvature, tri[:, 0])
+        c1 = jnp.take(self.vertex_curvature, tri[:, 1])
+        c2 = jnp.take(self.vertex_curvature, tri[:, 2])
+        curvature = (w[..., 0] * c0 + u[..., 0] * c1 + v[..., 0] * c2)[..., None]
+
+        geo_normal = normalize(jnp.cross(tv1 - tv0, tv2 - tv0))
+        pos = rays_o + t * rays_d
+
+        ok = hit.hit & valid
+        safe_t = jnp.where(ok[:, None], t, MISS_T)
+        return {
+            "pos": jnp.where(ok[:, None], pos, rays_o),
+            "normal": jnp.where(ok[:, None], normal, jnp.zeros_like(normal)),
+            "geo_normal": jnp.where(ok[:, None], geo_normal,
+                                    jnp.zeros_like(geo_normal)),
+            "curvature": jnp.where(ok[:, None], curvature,
+                                   jnp.zeros_like(curvature)),
+            "t": safe_t,
+            "hit": ok,
+            "tri_idx": hit.tri_idx,
+        }
+
+    # ------------------------------------------------------------------
+    def unsigned_distance(self, points: np.ndarray, chunk: int = 4096):
+        """Exact point-to-mesh distance (host numpy, chunked) — used by the
+        stage-2 mesh postprocess (postprocess_stage2_mesh.py:9-26)."""
+        v0 = self.verts_np[self.tris_np[:, 0]]
+        v1 = self.verts_np[self.tris_np[:, 1]]
+        v2 = self.verts_np[self.tris_np[:, 2]]
+        out = np.empty(len(points), np.float32)
+        for i0 in range(0, len(points), chunk):
+            p = points[i0:i0 + chunk]
+            out[i0:i0 + chunk] = _point_triangle_dist(p, v0, v1, v2)
+        return out
+
+
+def _point_triangle_dist(p, v0, v1, v2):
+    """min over triangles of exact point-triangle distance.
+    p: [P,3]; v*: [T,3] -> [P]."""
+    e0 = v1 - v0  # [T,3]
+    e1 = v2 - v0
+    a = np.sum(e0 * e0, -1)
+    b = np.sum(e0 * e1, -1)
+    c = np.sum(e1 * e1, -1)
+    det = np.maximum(a * c - b * b, 1e-20)
+
+    diff = p[:, None, :] - v0[None, :, :]  # [P,T,3]
+    d = np.sum(diff * e0[None], -1)  # [P,T]
+    e = np.sum(diff * e1[None], -1)
+    s = (c * d - b * e) / det
+    t = (a * e - b * d) / det
+    # clamp to triangle (approximate but exact enough: clamp barycentrics,
+    # then re-project onto edges where needed)
+    s = np.clip(s, 0, 1)
+    t = np.clip(t, 0, 1)
+    over = s + t > 1
+    scale = np.where(over, 1.0 / np.maximum(s + t, 1e-12), 1.0)
+    s, t = s * scale, t * scale
+    closest = v0[None] + s[..., None] * e0[None] + t[..., None] * e1[None]
+    dist = np.linalg.norm(p[:, None, :] - closest, axis=-1)
+    return dist.min(axis=1).astype(np.float32)

@@ -1,0 +1,151 @@
+"""Mesh ops + on-chip tracing tests against analytic ground truth."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nunerf_tpu.tracing.mesh_ops import (
+    extract_geometry,
+    isotropic_remesh,
+    load_ply,
+    save_ply,
+    vertex_normals_curvature,
+)
+from nunerf_tpu.tracing.scene import Scene
+from nunerf_tpu.tracing.intersect import MISS_T
+
+
+def sphere_sdf(pts, r=0.5):
+    return np.linalg.norm(pts, axis=-1) - r
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    verts, tris = extract_geometry(sphere_sdf, resolution=64, bound=1.0)
+    return verts, tris
+
+
+def test_extract_geometry_sphere(sphere_mesh):
+    verts, tris = sphere_mesh
+    assert len(verts) > 500 and len(tris) > 500
+    radii = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(radii.mean(), 0.5, atol=0.01)
+    assert radii.std() < 0.01
+    # watertight: every edge shared by exactly 2 faces
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], 0)
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert np.all(counts == 2), "mesh is not watertight"
+
+
+def test_mesh_face_orientation(sphere_mesh):
+    """SDF convention (negative inside): faces should wind so normals point
+    outward after the reference's face flip; check the raw orientation here."""
+    verts, tris = sphere_mesh
+    fn = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                  verts[tris[:, 2]] - verts[tris[:, 0]])
+    centers = verts[tris].mean(1)
+    outward = np.sum(fn * centers, -1)
+    frac = np.mean(outward > 0)
+    # orientation must be consistent (all out or all in)
+    assert frac > 0.99 or frac < 0.01, frac
+
+
+def test_vertex_normals_curvature_sphere(sphere_mesh):
+    verts, tris = sphere_mesh
+    normals, curv = vertex_normals_curvature(verts, tris)
+    # normals parallel to radial direction
+    radial = verts / np.linalg.norm(verts, axis=-1, keepdims=True)
+    align = np.abs(np.sum(normals * radial, -1))
+    assert align.mean() > 0.99
+    # angle-defect curvature is noisy on the raw tet mesh (irregular
+    # valences); on the remeshed surface (the reference also computes
+    # curvature on the remeshed mesh) the median must approach 1/r^2 = 4
+    v2, t2 = isotropic_remesh(verts, tris, target_edge=0.08)
+    _, c2 = vertex_normals_curvature(v2, t2)
+    assert abs(np.median(c2) - 4.0) < 1.0, np.median(c2)
+
+
+def test_ply_roundtrip(sphere_mesh, tmp_path):
+    verts, tris = sphere_mesh
+    p = str(tmp_path / "m.ply")
+    save_ply(p, verts, tris)
+    v2, t2 = load_ply(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-6)
+    np.testing.assert_array_equal(t2, tris)
+
+
+def test_cluster_remesh(sphere_mesh):
+    verts, tris = sphere_mesh
+    v2, t2 = isotropic_remesh(verts, tris, target_edge=0.1)
+    assert len(v2) < len(verts)
+    assert len(t2) > 50
+    radii = np.linalg.norm(v2, axis=-1)
+    np.testing.assert_allclose(radii.mean(), 0.5, atol=0.05)
+
+
+def test_scene_intersect_analytic(sphere_mesh):
+    """Ray-mesh hits must match analytic ray-sphere intersection."""
+    scene = Scene(sphere_mesh, tile=512)
+    rs = np.random.RandomState(0)
+    n = 64
+    origins = np.tile(np.array([[0.0, 0.0, -2.0]], np.float32), (n, 1))
+    targets = rs.randn(n, 3).astype(np.float32) * 0.25
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    hit = scene.intersect(jnp.asarray(origins), jnp.asarray(dirs))
+    t = np.asarray(hit.t)
+    hits = np.asarray(hit.hit)
+
+    # analytic
+    b = np.sum(origins * dirs, -1)
+    c = np.sum(origins**2, -1) - 0.25
+    disc = b * b - c
+    ana_hit = disc > 0
+    ana_t = -b - np.sqrt(np.maximum(disc, 0))
+
+    assert np.mean(hits == ana_hit) > 0.95  # grazing rays may differ
+    both = hits & ana_hit
+    assert both.sum() > 10
+    np.testing.assert_allclose(t[both], ana_t[both], atol=0.02)
+
+
+def test_scene_dintersect_gradients(sphere_mesh):
+    scene = Scene(sphere_mesh, tile=512)
+    o = jnp.array([[0.0, 0.0, -2.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+
+    res = scene.dintersect(o, d)
+    assert bool(res["hit"][0])
+    np.testing.assert_allclose(np.asarray(res["pos"][0]), [0, 0, -0.5], atol=0.02)
+    # interpolated normal ~ -z at the near pole
+    np.testing.assert_allclose(np.asarray(res["normal"][0]), [0, 0, -1], atol=0.05)
+    np.testing.assert_allclose(float(res["curvature"][0, 0]), 4.0, atol=1.5)
+
+    # differentiability: d(t)/d(origin_z) should be ~ -1 for a head-on hit
+    def t_of_oz(oz):
+        oo = jnp.array([[0.0, 0.0, oz]])
+        return scene.dintersect(oo, d)["t"][0, 0]
+
+    g = jax.grad(t_of_oz)(-2.0)
+    np.testing.assert_allclose(float(g), -1.0, atol=1e-3)
+
+
+def test_scene_miss(sphere_mesh):
+    scene = Scene(sphere_mesh, tile=512)
+    o = jnp.array([[0.0, 0.0, -2.0]])
+    d = jnp.array([[0.0, 1.0, 0.0]])  # perpendicular, misses
+    hit = scene.intersect(o, d)
+    assert not bool(hit.hit[0])
+    assert float(hit.t[0]) == MISS_T
+
+
+def test_unsigned_distance(sphere_mesh):
+    scene = Scene(sphere_mesh)
+    pts = np.array([[0, 0, 0], [1.0, 0, 0], [0, 0, 0.5]], np.float32)
+    d = scene.unsigned_distance(pts)
+    np.testing.assert_allclose(d, [0.5, 0.5, 0.0], atol=0.02)
