@@ -1,0 +1,454 @@
+"""Stage-2 renderer (zero-thickness): inner geometry through traced glass.
+
+Re-design of the reference zero-thickness ``Stage2Renderer``
+(``network/renderer_zerothick.py:868-2060``): camera rays refract through the
+extracted outer mesh (single-interface Snell per hit), and the inner object is
+a second NeuS SDF rendered along the refracted path segments with
+transmittance chaining.
+
+Reference flow vs TPU re-design:
+* ``ray_trace`` (:1571-1828) loops 3 bounces with boolean-mask compaction and
+  a Python OptiX round trip per bounce -> here the 3 bounces are statically
+  unrolled over the on-chip intersector with ``converged``/``tir`` masks
+  carried per lane (no compaction, no host sync);
+* per-segment sampling: outside segments get ``n_samples_outer`` uniform
+  samples to the hit (or coarse+NeRF-importance background samples on miss,
+  :1762-1799); the inside-glass segment gets NeuS-upsampled samples from the
+  inner SDF (:1745-1760) — both branches are computed fixed-shape and
+  selected by the hit mask;
+* ``render_core`` (:1835-2011) accumulates linear-space radiance with
+  transmittance chaining across segments and interface shading through the
+  frozen stage-1 heads (``AppShadingNetwork_S2``);
+* TIR masks (:1662-1669) propagate backward through the converged chain and
+  mask the rgb loss (:1247,1273).
+
+Stage-1 parameters ride in ``params['frozen']`` under ``stop_gradient`` (the
+trainer gives that subtree a zero optimizer), so one pytree flows through the
+sharded train step without baking 10M constants into the executable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nunerf_tpu.config import STAGE2_DEFAULTS, merge_cfg, load_cfg
+from nunerf_tpu.fields.aux import IoRNetwork, ThicknessNetwork
+from nunerf_tpu.fields.sdf import SDFNetwork
+from nunerf_tpu.fields.shading import AppShadingNetwork
+from nunerf_tpu.fields.variance import SingleVarianceNetwork
+from nunerf_tpu.models.stage1 import ShapeRenderer, masked_mean
+from nunerf_tpu.ops.geometry import normalize, safe_norm, safe_sqrt
+from nunerf_tpu.ops.sampling import merge_z_vals, neus_upsample, sample_pdf
+from nunerf_tpu.ops.srgb import linear_to_srgb, srgb_to_linear
+from nunerf_tpu.ops.volume import alpha_to_weights, exclusive_cumprod
+from nunerf_tpu.tracing.scene import Scene
+
+ZERO_THICK_DEFAULTS = dict(
+    STAGE2_DEFAULTS,
+    n_samples_outer=256,      # outside segments (renderer_zerothick.py:1729)
+    n_bg_importance=64,       # importance samples on miss (:1799)
+    bg_z_max=64.0,            # coarse background range [0.1, 64] (:1767)
+    n_samples_inner=64,       # inside-glass base samples (:1734)
+    inner_up_rounds=2,        # NeuS upsample rounds (:1752)
+    inner_up_each=32,
+    seg_far=4.5,              # miss-segment length (:1727)
+    max_bounces=3,
+)
+
+
+class Stage2Renderer:
+    """Zero-thickness stage-2.  Trainable: inner SDF + deviation + inner
+    shader + IoR field (+ vestigial IoR-interior/thickness fields and the
+    10-vector IORs parameter, kept for checkpoint parity)."""
+
+    def __init__(self, cfg: Dict[str, Any], scene: Optional[Scene] = None,
+                 stage1_params=None):
+        self.cfg = merge_cfg(ZERO_THICK_DEFAULTS, cfg)
+        shader_cfg = self.cfg.get("shader_config") or {}
+
+        # frozen stage-1 stack (module defs; params come from the checkpoint)
+        s1_cfg = dict(self.cfg.get("stage1_cfg") or {})
+        if self.cfg.get("stage1_cfg_dir"):
+            s1_cfg = load_cfg(self.cfg["stage1_cfg_dir"])
+        self.stage1 = ShapeRenderer(s1_cfg)
+
+        if stage1_params is None and self.cfg.get("stage1_ckpt_dir"):
+            from nunerf_tpu.train.trainer import load_checkpoint
+            _, stage1_params, _, _ = load_checkpoint(self.cfg["stage1_ckpt_dir"])
+        self.stage1_params = stage1_params
+
+        if scene is None:
+            scene = Scene(self.cfg["stage1_mesh_dir"])
+        self.scene = scene
+
+        # trainable modules
+        self.sdf_inner = SDFNetwork(
+            d_out=self.cfg["sdf_d_out"], n_layers=self.cfg["sdf_n_layers"],
+            skip_in=(self.cfg["sdf_n_layers"] // 2,), multires=self.cfg["sdf_freq"],
+            bias=self.cfg["sdf_bias"], geometric_init=self.cfg["geometry_init"])
+        self.var_inner = SingleVarianceNetwork(
+            init_val=self.cfg["inv_s_init"], activation=self.cfg["std_act"])
+        self.color_inner = AppShadingNetwork(
+            sphere_direction=bool(shader_cfg.get("sphere_direction", False)),
+            human_light=False)
+        self.ior_net = IoRNetwork()
+        self.ior_int_net = IoRNetwork()
+        self.thickness_net = ThicknessNetwork()
+
+    frozen_keys = ("frozen",)
+
+    @staticmethod
+    def _is_internal(i: int) -> bool:
+        """Zero-thickness: odd interfaces are internal
+        (renderer_zerothick.py:1934); the shell variant overrides to
+        ``i != 0`` (renderer.py:2272)."""
+        return i % 2 != 0
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng) -> Dict[str, Any]:
+        r = jax.random.split(rng, 6)
+        d3 = jnp.zeros((1, 3))
+        feats = jnp.zeros((1, 256))
+        train = {
+            "sdf_inner": self.sdf_inner.init(r[0], d3),
+            "var_inner": self.var_inner.init(r[1], d3),
+            "shade_inner": self.color_inner.init(r[2], d3, d3, d3, feats),
+            "ior": self.ior_net.init(r[3], d3),
+            "ior_int": self.ior_int_net.init(r[4], d3),
+            "thickness": self.thickness_net.init(r[5], d3),
+            "iors_vec": jnp.zeros((10,)),  # vestigial (renderer_zerothick.py:929)
+        }
+        if self.stage1_params is None:
+            raise ValueError("stage-2 requires stage-1 params "
+                             "(stage1_ckpt_dir or stage1_params)")
+        return {"train": train, "frozen": self.stage1_params}
+
+    # ----- frozen stage-1 helpers --------------------------------------
+    def stage1_sdf(self, pts, params=None):
+        p = params if params is not None else self.stage1_params
+        return self.stage1.sdf_net.apply(p["sdf"], pts)[..., :1]
+
+    def inner_sdf(self, params, pts):
+        return self.sdf_inner.apply(params["train"]["sdf_inner"], pts)[..., :1]
+
+    # ----- ray tracing --------------------------------------------------
+    def ray_trace(self, params, rays_o, rays_d):
+        """3-bounce Snell trace through the outer mesh
+        (renderer_zerothick.py:1571-1703), fixed-shape.
+
+        Returns per-bounce dicts and the combined tir mask.
+        """
+        train = params["train"]
+        bounces = []
+        start, direc = rays_o, normalize(rays_d)
+        active = jnp.ones(rays_o.shape[0], bool)
+        tir_bad = jnp.zeros(rays_o.shape[0], bool)
+
+        for i in range(self.cfg["max_bounces"]):
+            outside = (i % 2 == 0)
+            res = self.scene.dintersect(start, direc)
+            hit = res["hit"] & active
+            normal = res["normal"] if outside else -res["normal"]
+
+            cos_i = jnp.sum(normal * -direc, axis=-1, keepdims=True)
+            sin2_i = 1.0 - cos_i * cos_i
+            ior = self.ior_net.apply(train["ior"], res["pos"])
+            eta = 1.0 / (ior + 1.0)           # IoR map (:1642-1643)
+            if not outside:
+                eta = 1.0 / eta               # reciprocal when exiting (:1653)
+
+            tir_here = (eta * eta * sin2_i)[..., 0] > 0.999
+            conv = hit & ~tir_here
+            tir_bad = tir_bad | (hit & tir_here)
+
+            sin2_t = jnp.clip(eta * eta * sin2_i, 0.0, 1.0)
+            next_dir_un = (eta * direc
+                           + (eta * cos_i - safe_sqrt(1.0 - sin2_t)) * normal)
+            next_start = res["pos"] + next_dir_un * 1e-5
+            next_dir = next_dir_un / (
+                safe_norm(next_dir_un, keepdims=True) + 1e-4)
+
+            bounces.append({
+                "start": start, "dir": direc, "active": active,
+                "hit": hit, "conv": conv, "pos": res["pos"],
+                "normal": normal, "eta": eta,
+                "next_dir": next_dir,
+            })
+            start, direc, active = next_start, next_dir, conv
+
+        return bounces, ~tir_bad
+
+    # ----- per-segment sampling ----------------------------------------
+    def _sample_outer_segment(self, params, b, rng):
+        """Outside segment (k != 1): uniform-to-hit on hit lanes; coarse +
+        stage-1-NeRF-importance background on miss (:1727-1799)."""
+        cfg = self.cfg
+        n = cfg["n_samples_outer"]
+        n_imp = cfg["n_bg_importance"]
+        start, direc = b["start"], b["dir"]
+        rn = start.shape[0]
+
+        end_hit = b["pos"]
+        z_hit = jnp.linspace(0.0, 1.0, n)[None, :, None]
+        pts_hit = start[:, None, :] + (end_hit - start)[:, None, :] * z_hit
+
+        # miss branch: coarse z in [0.1, bg_z_max] + one importance round from
+        # the frozen stage-1 background nerf weights
+        n_coarse = n - n_imp
+        zc = jnp.broadcast_to(
+            jnp.linspace(0.1, cfg["bg_z_max"], n_coarse)[None, :], (rn, n_coarse))
+        pts_c = start[:, None, :] + direc[:, None, :] * zc[..., None]
+        dists = jnp.concatenate([zc[:, 1:] - zc[:, :-1],
+                                 (zc[:, -1:] - zc[:, -2:-1])], -1)
+        dirs_c = jnp.broadcast_to(direc[:, None, :], pts_c.shape)
+        alpha, _ = self._density_alpha(params, pts_c.reshape(-1, 3),
+                                       dists.reshape(-1), -dirs_c.reshape(-1, 3))
+        alpha = jax.lax.stop_gradient(alpha.reshape(rn, n_coarse))
+        weights = alpha_to_weights(alpha)
+        z_new = sample_pdf(zc, weights[:, :-1], n_imp, det=True)
+        z_miss, _ = merge_z_vals(zc, jax.lax.stop_gradient(z_new), None, None)
+        pts_miss = start[:, None, :] + direc[:, None, :] * z_miss[..., None]
+
+        return jnp.where(b["hit"][:, None, None], pts_hit, pts_miss)
+
+    def _sample_inner_segment(self, params, b, rng):
+        """Inside-glass segment (k == 1): NeuS-upsampled to the exit hit;
+        uniform along seg_far on miss (:1734-1760)."""
+        cfg = self.cfg
+        n0 = cfg["n_samples_inner"]
+        rounds = cfg["inner_up_rounds"]
+        each = cfg["inner_up_each"]
+        n_total = n0 + rounds * each
+        start, direc = b["start"], b["dir"]
+        rn = start.shape[0]
+
+        end_hit = b["pos"]
+        seg_len = safe_norm(end_hit - start, keepdims=True)
+        # z in world units toward the hit; miss lanes use seg_far span
+        safe_len = jnp.where(b["hit"][:, None], seg_len, cfg["seg_far"])
+        z = jnp.linspace(0.0, 1.0, n0)[None, :] * safe_len  # [R,n0]
+
+        def stop(x):
+            return jax.lax.stop_gradient(x)
+
+        pts = start[:, None, :] + direc[:, None, :] * z[..., None]
+        sdf = stop(self.inner_sdf(params, pts.reshape(-1, 3)).reshape(rn, n0))
+        for i in range(rounds):
+            sn = z.shape[1]
+            if cfg.get("clip_sample_variance", True):
+                inv_s = stop(self.var_inner.apply(
+                    params["train"]["var_inner"], jnp.zeros((1, 3)))[0, 0])
+                inv_s = jnp.minimum(inv_s, 64 * 2**i) * jnp.ones((rn, sn - 1))
+            else:
+                inv_s = jnp.ones((rn, sn - 1)) * 64 * 2**i
+            new_z = neus_upsample(start, direc, z, sdf, each, inv_s)
+            last = i + 1 == rounds
+            if not last:
+                new_pts = start[:, None, :] + direc[:, None, :] * new_z[..., None]
+                new_sdf = stop(self.inner_sdf(params, new_pts.reshape(-1, 3))
+                               .reshape(rn, new_z.shape[1]))
+                z, sdf = merge_z_vals(z, new_z, sdf, new_sdf)
+            else:
+                z, _ = merge_z_vals(z, new_z, sdf, None)
+
+        # hit lanes: NeuS z (already spans [0, seg_len]); miss lanes: uniform
+        z_miss = jnp.linspace(0.0, 1.0, n_total)[None, :] * cfg["seg_far"]
+        z_final = jnp.where(b["hit"][:, None], z, z_miss)
+        # endpoint must be exactly the interface on hit lanes
+        z_final = jnp.where(b["hit"][:, None],
+                            z_final.at[:, -1].set(seg_len[:, 0]), z_final)
+        return start[:, None, :] + direc[:, None, :] * z_final[..., None]
+
+    # ----- field helpers ------------------------------------------------
+    def _density_alpha(self, params, points, dists, dirs):
+        """Frozen stage-1 NeRF++ background (renderer_zerothick.py:1536-1544)."""
+        frozen = jax.lax.stop_gradient(params["frozen"])
+        norm = jnp.maximum(jnp.linalg.norm(points, axis=-1, keepdims=True), 1e-3)
+        pts4 = jnp.concatenate([points / norm, 1.0 / norm], axis=-1)
+        density, color = self.stage1.outer_nerf.apply(frozen["nerf"], pts4, dirs)
+        alpha = 1.0 - jnp.exp(-jax.nn.softplus(density[..., 0]) * dists)
+        color = linear_to_srgb(jnp.exp(jnp.minimum(color, 5.0)))
+        return alpha, color
+
+    def _inner_sdf_alpha(self, params, points, dists, dirs, cos_anneal, step):
+        """Inner NeuS alpha (renderer_zerothick.py:1490-1528)."""
+        train = params["train"]
+        out = self.sdf_inner.apply(train["sdf_inner"], points)
+        sdf, feats = out[..., 0], out[..., 1:]
+
+        def sdf1(p):
+            return self.sdf_inner.apply(train["sdf_inner"], p[None])[0, 0]
+
+        grads = jax.vmap(jax.grad(sdf1))(points)
+        inv_s = jnp.clip(self.var_inner.apply(train["var_inner"], points),
+                         1e-6, 1e6)[..., 0]
+        freeze = self.cfg.get("freeze_inv_s_step")
+        if freeze is not None:
+            inv_s = jax.lax.cond(step < freeze,
+                                 lambda v: jax.lax.stop_gradient(v),
+                                 lambda v: v, inv_s)
+        true_cos = jnp.sum(dirs * grads, axis=-1)
+        iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal)
+                     + jax.nn.relu(-true_cos) * cos_anneal)
+        est_next = sdf + iter_cos * dists * 0.5
+        est_prev = sdf - iter_cos * dists * 0.5
+        prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+        next_cdf = jax.nn.sigmoid(est_next * inv_s)
+        alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0, 1)
+        return alpha, grads, feats, inv_s, sdf
+
+    def _stage1_sdf_feats(self, params, points):
+        """Frozen stage-1 SDF features+gradient at interface points
+        (renderer_zerothick.py:1530-1534 ``compute_sdf``)."""
+        frozen = jax.lax.stop_gradient(params["frozen"])
+        out = self.stage1.sdf_net.apply(frozen["sdf"], points)
+        return out[..., 1:]
+
+    # ----- the core ------------------------------------------------------
+    def render(self, params, rays_o, rays_d, rng, step, cos_anneal_ratio=0.0,
+               is_train=True, with_inter=False):
+        cfg = self.cfg
+        rn = rays_o.shape[0]
+        frozen = jax.lax.stop_gradient(params["frozen"])
+        bounces, tir_mask = self.ray_trace(params, rays_o, rays_d)
+
+        current_T = jnp.ones((rn, 3))
+        total_color = jnp.zeros((rn, 3))
+        outputs: Dict[str, Any] = {}
+        normals_out = jnp.zeros((rn, 3))
+        spec_color_out = jnp.zeros((rn, 3))
+        spec_light_out = jnp.zeros((rn, 3))
+        spec_ref_out = jnp.zeros((rn, 3))
+        grad_err = jnp.zeros(())
+        std_out = jnp.zeros(())
+
+        rngs = jax.random.split(rng, len(bounces))
+        for i, b in enumerate(bounces):
+            if i == 1:
+                pts = self._sample_inner_segment(params, b, rngs[i])
+            else:
+                pts = self._sample_outer_segment(params, b, rngs[i])
+            # volume samples exclude the interface endpoint (:1866-1871)
+            pn = pts[:, :-1, :]
+            n_s = pn.shape[1]
+            d = pn[:, 1:] - pn[:, :-1]
+            dists = safe_norm(d)
+            dists = jnp.concatenate([dists, dists[:, -1:]], -1)
+            dirs = jnp.broadcast_to(b["dir"][:, None, :], pn.shape)
+
+            flat_p = pn.reshape(-1, 3)
+            flat_d = dists.reshape(-1)
+            flat_dir = dirs.reshape(-1, 3)
+            alpha_nerf, color_nerf = self._density_alpha(
+                params, flat_p, flat_d, -flat_dir)
+
+            if i == 1:
+                inner = jnp.linalg.norm(flat_p, axis=-1) <= 1.0
+                a_sdf, grads_in, feats_in, inv_s_in, _sdf = \
+                    self._inner_sdf_alpha(params, flat_p, flat_d, flat_dir,
+                                          cos_anneal_ratio, step)
+                c_sdf, _occ = self.color_inner.apply(
+                    params["train"]["shade_inner"], flat_p, grads_in,
+                    -flat_dir, feats_in, None)
+                alpha = jnp.where(inner, a_sdf, alpha_nerf)
+                scolor = jnp.where(inner[:, None], c_sdf, color_nerf)
+                seg_mask = b["active"]
+                gnorm = jnp.linalg.norm(grads_in, axis=-1)
+                grad_err = masked_mean(
+                    (gnorm - 1.0) ** 2,
+                    inner & jnp.repeat(seg_mask, n_s))
+                std_out = jnp.mean(1.0 / inv_s_in)
+            else:
+                outer = jnp.linalg.norm(flat_p, axis=-1) > 1.0
+                alpha = jnp.where(outer, alpha_nerf, 0.0)
+                scolor = color_nerf
+
+            alpha = alpha.reshape(rn, n_s)
+            scolor = srgb_to_linear(scolor.reshape(rn, n_s, 3))
+            weights = alpha_to_weights(alpha)
+            seg_color = jnp.sum(scolor * weights[..., None], axis=1)
+            seg_T = jnp.prod(1.0 - alpha + 1e-7, axis=-1, keepdims=True)
+
+            act = b["active"][:, None]
+            total_color = total_color + seg_color * current_T * act
+            current_T = jnp.where(act, current_T * seg_T, current_T)
+
+            # interface shading on converged lanes (:1930-1948)
+            iface_pts = b["pos"]
+            feats1 = self._stage1_sdf_feats(params, iface_pts)
+            if i == 0 and not is_train:
+                c_if, occ_if, inter_if = self.stage1.color_net.apply(
+                    frozen["shade"], iface_pts, b["normal"], -b["dir"], feats1,
+                    None, inter_results=True)
+                # reference overrides with S2 composition; reuse s2_shade for
+                # the actual color and take channels from the full forward
+                normals_out = jnp.where(b["conv"][:, None],
+                                        (normalize(b["normal"]) + 1) * 0.5, 0.0)
+                spec_color_out = jnp.where(b["conv"][:, None],
+                                           inter_if["specular_color"], 0.0)
+                spec_light_out = jnp.where(b["conv"][:, None],
+                                           inter_if["specular_light"], 0.0)
+                spec_ref_out = jnp.where(b["conv"][:, None],
+                                         inter_if["specular_ref"], 0.0)
+            c_if, occ_if = self.stage1.color_net.apply(
+                frozen["shade"], iface_pts, b["normal"], -b["dir"], feats1,
+                self._is_internal(i), method=AppShadingNetwork.s2_shade)
+            c_if_lin = srgb_to_linear(c_if)
+            conv = b["conv"][:, None]
+            total_color = total_color + c_if_lin * current_T * conv
+            current_T = jnp.where(conv,
+                                  current_T * occ_if["refraction_coefficient"],
+                                  current_T)
+
+        ray_rgb = jnp.clip(linear_to_srgb(total_color), 0.0, 1.0)
+        outputs.update({
+            "ray_rgb": ray_rgb,
+            "gradient_error": grad_err,
+            "std": std_out,
+            "acc": jnp.ones((rn,)),
+            "tir_mask": jax.lax.stop_gradient(tir_mask[:, None].astype(jnp.float32)),
+            "normal": normals_out,
+            "specular_color": spec_color_out,
+            "specular_light": spec_light_out,
+            "specular_ref": spec_ref_out,
+        })
+        return outputs
+
+    # ----- trainer entry points -----------------------------------------
+    def get_anneal_val(self, step):
+        if self.cfg["anneal_end"] < 0:
+            return jnp.asarray(1.0)
+        return jnp.minimum(1.0, step / self.cfg["anneal_end"])
+
+    def compute_rgb_loss(self, rgb_pr, rgb_gt):
+        mode = self.cfg["rgb_loss"]
+        if mode == "l2":
+            return jnp.sum((rgb_pr - rgb_gt) ** 2, -1)
+        if mode == "l1":
+            return jnp.sum(jnp.abs(rgb_pr - rgb_gt), -1)
+        if mode == "charbonier":
+            return jnp.sqrt(jnp.sum((rgb_gt - rgb_pr) ** 2, axis=-1) + 0.001)
+        raise NotImplementedError(mode)
+
+    def train_outputs(self, params, batch, rng, step):
+        outputs = self.render(params, batch["rays_o"], normalize(batch["rays_d"]),
+                              rng, step,
+                              cos_anneal_ratio=self.get_anneal_val(step),
+                              is_train=True)
+        tm = outputs["tir_mask"]
+        outputs["loss_rgb"] = self.compute_rgb_loss(
+            outputs["ray_rgb"] * tm, batch["rgbs"] * tm)
+        return outputs
+
+    def test_outputs(self, params, batch, rng, step):
+        outputs = self.render(params, batch["rays_o"], normalize(batch["rays_d"]),
+                              rng, step, cos_anneal_ratio=1.0, is_train=False,
+                              with_inter=True)
+        tm = outputs["tir_mask"]
+        outputs["loss_rgb"] = self.compute_rgb_loss(
+            outputs["ray_rgb"] * tm, batch["rgbs"] * tm)
+        return outputs

@@ -18,8 +18,19 @@ def dot(a, b, keepdims: bool = True):
     return jnp.sum(a * b, axis=-1, keepdims=keepdims)
 
 
+def safe_norm(v, axis=-1, keepdims=False, eps: float = 1e-12):
+    """Norm with a finite gradient at v = 0 (plain ``jnp.linalg.norm`` emits
+    NaN cotangents at exactly zero, which ``where`` does not block)."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, eps))
+
+
+def safe_sqrt(x, eps: float = 1e-12):
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def normalize(v, eps: float = 1e-12):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    return v / safe_norm(v, keepdims=True, eps=eps * eps)
 
 
 def reflect(wo, n):

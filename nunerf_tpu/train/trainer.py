@@ -111,15 +111,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _build_network(self):
-        network = self.cfg.get("network", "shape")
-        if network == "shape":
-            from nunerf_tpu.models.stage1 import ShapeRenderer
-            self.renderer = ShapeRenderer(self.cfg)
-        elif network == "stage2":
-            from nunerf_tpu.models.stage2 import Stage2Renderer
-            self.renderer = Stage2Renderer(self.cfg)
-        else:
-            raise NotImplementedError(network)
+        from nunerf_tpu.models import build_renderer
+        self.renderer = build_renderer(self.cfg)
         rng = jax.random.PRNGKey(self.cfg["random_seed"])
         self.params = replicate(self.renderer.init_params(rng), self.mesh)
 
@@ -148,7 +141,16 @@ class Trainer:
         self.schedule = warm_up_cos_schedule(
             lr=lr_cfg.get("lr", 5e-4), end_warm=lr_cfg.get("end_warm", 5000),
             end_iter=lr_cfg["end_iter"])
-        self.optimizer = optax.adam(learning_rate=self.schedule)
+        adam = optax.adam(learning_rate=self.schedule)
+        frozen = getattr(self.renderer, "frozen_keys", ())
+        if frozen:
+            # stage-2: frozen stage-1 subtree gets a zero transform
+            labels = {k: ("frozen" if k in frozen else "train")
+                      for k in self.params}
+            self.optimizer = optax.multi_transform(
+                {"train": adam, "frozen": optax.set_to_zero()}, labels)
+        else:
+            self.optimizer = adam
         self.opt_state = replicate(self.optimizer.init(self.params), self.mesh)
 
     def _build_train_step(self):

@@ -1,0 +1,138 @@
+"""Stage-2 (zero-thickness) end-to-end tests on an analytic glass sphere."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nunerf_tpu.models.stage1 import ShapeRenderer
+from nunerf_tpu.models.stage2 import Stage2Renderer
+from nunerf_tpu.tracing.mesh_ops import extract_geometry
+from nunerf_tpu.tracing.scene import Scene
+
+S1_CFG = {
+    "name": "s1tiny",
+    "is_nerf": True,
+    "get_mask": False,
+    "shader_config": {"sphere_direction": False},
+    "n_samples": 16, "n_bg_samples": 8, "n_importance": 8,
+    "up_sample_steps": 2, "apply_occ_loss": False,
+}
+
+S2_CFG = {
+    "name": "s2tiny",
+    "is_nerf": True,
+    "zero_thickness": True,
+    "stage1_cfg": S1_CFG,
+    "shader_config": {"sphere_direction": False},
+    # tiny sampling budget
+    "n_samples_outer": 24,
+    "n_bg_importance": 8,
+    "n_samples_inner": 12,
+    "inner_up_rounds": 2,
+    "inner_up_each": 4,
+    "loss": ["nerf_render", "eikonal", "std"],
+    "eikonal_weight": 0.02,
+}
+
+
+@pytest.fixture(scope="module")
+def stage2_setup():
+    def sphere_sdf(p):
+        return np.linalg.norm(p, axis=-1) - 0.5
+
+    verts, tris = extract_geometry(sphere_sdf, resolution=48)
+    scene = Scene((verts, tris), tile=512)
+
+    s1 = ShapeRenderer(S1_CFG)
+    s1_params = s1.init_params(jax.random.PRNGKey(7))
+    renderer = Stage2Renderer(S2_CFG, scene=scene, stage1_params=s1_params)
+    params = renderer.init_params(jax.random.PRNGKey(8))
+    return renderer, params
+
+
+def _camera_rays(n=32):
+    rs = np.random.RandomState(0)
+    origins = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (n, 1))
+    targets = rs.randn(n, 3).astype(np.float32) * 0.3
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return jnp.asarray(origins), jnp.asarray(dirs)
+
+
+def test_ray_trace_refraction_chain(stage2_setup):
+    renderer, params = stage2_setup
+    rays_o, rays_d = _camera_rays(32)
+    bounces, tir_mask = renderer.ray_trace(params, rays_o, rays_d)
+    assert len(bounces) == 3
+    b0, b1, b2 = bounces
+    # most central rays hit the glass sphere
+    assert int(jnp.sum(b0["hit"])) > 20
+    # entry points on the r=0.5 sphere
+    hit0 = np.asarray(b0["hit"])
+    r0 = np.linalg.norm(np.asarray(b0["pos"])[hit0], axis=-1)
+    np.testing.assert_allclose(r0, 0.5, atol=0.03)
+    # bounce-1 rays start inside and mostly exit (hit again from inside)
+    assert int(jnp.sum(b1["hit"])) > 15
+    r1 = np.linalg.norm(np.asarray(b1["pos"])[np.asarray(b1["hit"])], axis=-1)
+    np.testing.assert_allclose(r1, 0.5, atol=0.03)
+    # refraction bends rays toward the normal on entry (eta < 1):
+    # transmitted dir dot incident dir < 1 but > 0 for these angles
+    cos_bend = np.sum(np.asarray(b1["dir"])[hit0] * np.asarray(b0["dir"])[hit0], -1)
+    assert np.all(cos_bend > 0.5)
+    assert tir_mask.shape == (32,)
+
+
+def test_straight_through_center_ray(stage2_setup):
+    """A ray through the exact center hits normally -> no bending at all."""
+    renderer, params = stage2_setup
+    o = jnp.array([[0.0, 0.0, -2.5]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    bounces, _ = renderer.ray_trace(params, o, d)
+    for b in bounces[1:]:
+        if bool(b["active"][0]):
+            np.testing.assert_allclose(np.asarray(b["dir"][0]), [0, 0, 1],
+                                       atol=0.02)
+
+
+def test_render_outputs_finite(stage2_setup):
+    renderer, params = stage2_setup
+    rays_o, rays_d = _camera_rays(16)
+    out = renderer.render(params, rays_o, rays_d, jax.random.PRNGKey(0),
+                          jnp.asarray(10, jnp.int32))
+    assert out["ray_rgb"].shape == (16, 3)
+    assert np.all(np.isfinite(np.asarray(out["ray_rgb"])))
+    assert np.all((np.asarray(out["ray_rgb"]) >= 0)
+                  & (np.asarray(out["ray_rgb"]) <= 1))
+    assert out["tir_mask"].shape == (16, 1)
+    assert np.isfinite(float(out["gradient_error"]))
+
+
+def test_stage2_grads_flow_to_trainables(stage2_setup):
+    from nunerf_tpu.train.loss import compute_losses
+
+    renderer, params = stage2_setup
+    rays_o, rays_d = _camera_rays(16)
+    batch = {"rays_o": rays_o, "rays_d": rays_d,
+             "rgbs": jnp.ones((16, 3)) * 0.5}
+
+    def loss_fn(p):
+        outputs = renderer.train_outputs(p, batch, jax.random.PRNGKey(1),
+                                         jnp.asarray(10, jnp.int32))
+        terms = compute_losses(outputs, batch, 10, renderer.cfg)
+        return terms["loss_total"]
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+
+    def gsum(tree):
+        return sum(float(jnp.sum(jnp.abs(g)))
+                   for g in jax.tree_util.tree_leaves(tree))
+
+    # inner nets + IoR field receive gradient
+    assert gsum(grads["train"]["sdf_inner"]) > 0
+    assert gsum(grads["train"]["shade_inner"]) > 0
+    assert gsum(grads["train"]["ior"]) > 0
+    # frozen stage-1 receives zero gradient (stop_gradient)
+    assert gsum(grads["frozen"]) == 0.0
