@@ -62,6 +62,12 @@ STAGE1_DEFAULTS: Dict[str, Any] = {
     "fixed_camera": False,
     "get_mask": False,
     "zero_thickness": False,
+    # TPU mixed precision: bf16 matmuls (f32 params/accumulation) for the
+    # shading stack and background NeRF; the SDF stays f32 for eikonal
+    # gradient fidelity.  Net-new vs the reference (which is f32-only).
+    # Measured on v5e: bf16 costs stage-1 ~14% (cast overhead beats the MXU
+    # win at 1024-ray batches) but gains stage-2 ~17% -> off here, on there.
+    "mixed_precision": False,
 }
 
 SHADER_DEFAULTS: Dict[str, Any] = {
@@ -110,6 +116,7 @@ STAGE2_DEFAULTS: Dict[str, Any] = {
     "stage1_mesh_dir": None,
     "stage1_ckpt_dir": None,
     "stage1_cfg_dir": None,
+    "mixed_precision": True,
 }
 
 TRAINER_DEFAULTS: Dict[str, Any] = {

@@ -45,12 +45,17 @@ class WNDense(nn.Module):
 
     ``kernel_init`` samples V (shape [in, out]); g starts at per-column
     ``||V||`` so initial output equals a plain Dense with that kernel.
+
+    ``dtype``: compute dtype for the matmul (params stay float32; bf16 here
+    engages the MXU's native rate with float32 accumulation via
+    ``preferred_element_type`` — standard mixed precision).
     """
 
     features: int
     kernel_init: Callable = torch_linear_kernel_init
     bias_init: Optional[Callable] = None
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -60,11 +65,14 @@ class WNDense(nn.Module):
         bias_init = self.bias_init or torch_linear_bias_init(in_features)
         norm = jnp.maximum(jnp.linalg.norm(v, axis=0), 1e-12)
         kernel = v * (g / norm)
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
         if self.use_bias:
             b = self.param("b", bias_init, (self.features,))
             y = y + b
-        return y
+        return y.astype(self.dtype) if self.dtype is not None else y
 
 
 class Dense(nn.Module):
@@ -73,6 +81,7 @@ class Dense(nn.Module):
     features: int
     kernel_init: Callable = torch_linear_kernel_init
     bias_init: Optional[Callable] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -80,8 +89,11 @@ class Dense(nn.Module):
         kernel = self.param("kernel", self.kernel_init, (in_features, self.features))
         bias_init = self.bias_init or torch_linear_bias_init(in_features)
         b = self.param("bias", bias_init, (self.features,))
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
-        return y + b
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32) + b
+        return y.astype(self.dtype) if self.dtype is not None else y
 
 
 def exp_activation(x, max_light: float = 5.0):
@@ -112,18 +124,21 @@ class Predictor(nn.Module):
     exp_max: float = 0.0
     weight_norm: bool = True
     final_bias: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         layer = WNDense if self.weight_norm else Dense
         for i in range(self.n_hidden):
-            x = layer(256, name=f"hidden_{i}")(x)
+            x = layer(256, name=f"hidden_{i}", dtype=self.dtype)(x)
             x = jax.nn.relu(x)
         final_bias_init = None
         if self.final_bias is not None:
             fb = float(self.final_bias)
             final_bias_init = lambda rng, shape, dtype=jnp.float32: jnp.full(shape, fb, dtype)
-        x = layer(self.out_dim, name="out", bias_init=final_bias_init)(x)
+        x = layer(self.out_dim, name="out", bias_init=final_bias_init,
+                  dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)  # head outputs stay f32 for the physics
         if self.activation == "exp":
             return exp_activation(x, self.exp_max)
         return _ACTS[self.activation](x)

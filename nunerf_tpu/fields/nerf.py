@@ -25,15 +25,17 @@ class NeRFNetwork(nn.Module):
     multires_view: int = 4
     skips: Sequence[int] = (4,)
     rgb_bias_init: float = 0.0  # reference sets log(0.5) (renderer.py:172)
+    dtype: object = None  # compute dtype (bf16 mixed precision when set)
 
     def setup(self):
-        self.pts_layers = [Dense(self.width, name=f"pts_{i}") for i in range(self.depth)]
-        self.alpha_layer = Dense(1, name="alpha")
-        self.feature_layer = Dense(self.width, name="feature")
-        self.views_layer = Dense(self.width // 2, name="views_0")
+        self.pts_layers = [Dense(self.width, name=f"pts_{i}", dtype=self.dtype)
+                           for i in range(self.depth)]
+        self.alpha_layer = Dense(1, name="alpha", dtype=self.dtype)
+        self.feature_layer = Dense(self.width, name="feature", dtype=self.dtype)
+        self.views_layer = Dense(self.width // 2, name="views_0", dtype=self.dtype)
         rb = float(self.rgb_bias_init)
         self.rgb_layer = Dense(
-            3, name="rgb",
+            3, name="rgb", dtype=self.dtype,
             bias_init=lambda rng, shape, dtype=jnp.float32: jnp.full(shape, rb, dtype))
 
     def _trunk(self, pts):
@@ -50,10 +52,13 @@ class NeRFNetwork(nn.Module):
         h = self._trunk(pts)
         alpha = self.alpha_layer(h)
         feature = self.feature_layer(h)
-        hv = jnp.concatenate([feature, posenc(views, self.multires_view)], axis=-1)
+        venc = posenc(views, self.multires_view)
+        if self.dtype is not None:
+            venc = venc.astype(self.dtype)
+        hv = jnp.concatenate([feature, venc], axis=-1)
         hv = jax.nn.relu(self.views_layer(hv))
         rgb = self.rgb_layer(hv)
-        return alpha, rgb
+        return alpha.astype(jnp.float32), rgb.astype(jnp.float32)
 
     def density(self, pts):
-        return self.alpha_layer(self._trunk(pts))
+        return self.alpha_layer(self._trunk(pts)).astype(jnp.float32)

@@ -74,7 +74,9 @@ class ShapeRenderer:
             bias=self.cfg["sdf_bias"], geometric_init=self.cfg["geometry_init"])
         self.var_net = SingleVarianceNetwork(
             init_val=self.cfg["inv_s_init"], activation=self.cfg["std_act"])
-        self.outer_nerf = NeRFNetwork(rgb_bias_init=float(np.log(0.5)))
+        dtype = jnp.bfloat16 if self.cfg.get("mixed_precision", True) else None
+        self.outer_nerf = NeRFNetwork(rgb_bias_init=float(np.log(0.5)),
+                                      dtype=dtype)
         self.color_net = AppShadingNetwork(
             human_light=shader_cfg["human_light"],
             sphere_direction=shader_cfg["sphere_direction"],
@@ -83,7 +85,8 @@ class ShapeRenderer:
             roughness_init=shader_cfg["roughness_init"],
             metallic_init=shader_cfg["metallic_init"],
             light_exp_max=shader_cfg["light_exp_max"],
-            refrac_freq=shader_cfg["refrac_freq"])
+            refrac_freq=shader_cfg["refrac_freq"],
+            dtype=dtype)
         self.inf_out = InfOutNetwork()
 
     # ------------------------------------------------------------------

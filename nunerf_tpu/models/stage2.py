@@ -70,10 +70,14 @@ class Stage2Renderer:
         self.cfg = merge_cfg(ZERO_THICK_DEFAULTS, cfg)
         shader_cfg = self.cfg.get("shader_config") or {}
 
-        # frozen stage-1 stack (module defs; params come from the checkpoint)
+        # frozen stage-1 stack (module defs; params come from the checkpoint).
+        # The frozen nets inherit stage-2's precision choice: bf16 compute on
+        # the frozen background NeRF is stage-2's main throughput lever.
         s1_cfg = dict(self.cfg.get("stage1_cfg") or {})
         if self.cfg.get("stage1_cfg_dir"):
             s1_cfg = load_cfg(self.cfg["stage1_cfg_dir"])
+        s1_cfg = dict(s1_cfg,
+                      mixed_precision=self.cfg.get("mixed_precision", True))
         self.stage1 = ShapeRenderer(s1_cfg)
 
         if stage1_params is None and self.cfg.get("stage1_ckpt_dir"):
@@ -92,9 +96,10 @@ class Stage2Renderer:
             bias=self.cfg["sdf_bias"], geometric_init=self.cfg["geometry_init"])
         self.var_inner = SingleVarianceNetwork(
             init_val=self.cfg["inv_s_init"], activation=self.cfg["std_act"])
+        dtype = jnp.bfloat16 if self.cfg.get("mixed_precision", True) else None
         self.color_inner = AppShadingNetwork(
             sphere_direction=bool(shader_cfg.get("sphere_direction", False)),
-            human_light=False)
+            human_light=False, dtype=dtype)
         self.ior_net = IoRNetwork()
         self.ior_int_net = IoRNetwork()
         self.thickness_net = ThicknessNetwork()
@@ -197,16 +202,17 @@ class Stage2Renderer:
         pts_hit = start[:, None, :] + (end_hit - start)[:, None, :] * z_hit
 
         # miss branch: coarse z in [0.1, bg_z_max] + one importance round from
-        # the frozen stage-1 background nerf weights
+        # the frozen stage-1 background nerf weights.  Density-only fast path
+        # (NeRFNetwork.density, field.py:293-305): the color head isn't needed
+        # for sampling weights — saves ~40% of the background evals.
         n_coarse = n - n_imp
         zc = jnp.broadcast_to(
             jnp.linspace(0.1, cfg["bg_z_max"], n_coarse)[None, :], (rn, n_coarse))
         pts_c = start[:, None, :] + direc[:, None, :] * zc[..., None]
         dists = jnp.concatenate([zc[:, 1:] - zc[:, :-1],
                                  (zc[:, -1:] - zc[:, -2:-1])], -1)
-        dirs_c = jnp.broadcast_to(direc[:, None, :], pts_c.shape)
-        alpha, _ = self._density_alpha(params, pts_c.reshape(-1, 3),
-                                       dists.reshape(-1), -dirs_c.reshape(-1, 3))
+        alpha = self._density_only_alpha(params, pts_c.reshape(-1, 3),
+                                         dists.reshape(-1))
         alpha = jax.lax.stop_gradient(alpha.reshape(rn, n_coarse))
         weights = alpha_to_weights(alpha)
         z_new = sample_pdf(zc, weights[:, :-1], n_imp, det=True)
@@ -273,6 +279,16 @@ class Stage2Renderer:
         alpha = 1.0 - jnp.exp(-jax.nn.softplus(density[..., 0]) * dists)
         color = linear_to_srgb(jnp.exp(jnp.minimum(color, 5.0)))
         return alpha, color
+
+    def _density_only_alpha(self, params, points, dists):
+        """Background alpha without the color head (for importance weights)."""
+        frozen = jax.lax.stop_gradient(params["frozen"])
+        norm = jnp.maximum(jnp.linalg.norm(points, axis=-1, keepdims=True), 1e-3)
+        pts4 = jnp.concatenate([points / norm, 1.0 / norm], axis=-1)
+        from nunerf_tpu.fields.nerf import NeRFNetwork
+        density = self.stage1.outer_nerf.apply(frozen["nerf"], pts4,
+                                               method=NeRFNetwork.density)
+        return 1.0 - jnp.exp(-jax.nn.softplus(density[..., 0]) * dists)
 
     def _inner_sdf_alpha(self, params, points, dists, dirs, cos_anneal, step):
         """Inner NeuS alpha (renderer_zerothick.py:1490-1528)."""

@@ -50,11 +50,12 @@ class Stage2ShellRenderer(Stage2Renderer):
         cfg = merge_cfg(SHELL_DEFAULTS, cfg)
         super().__init__(cfg, scene=scene, stage1_params=stage1_params)
         shader_cfg = self.cfg.get("shader_config") or {}
+        dtype = jnp.bfloat16 if self.cfg.get("mixed_precision", True) else None
         # SpecInner shader config (field.py:1321-1330)
         self.color_inner = AppShadingNetwork(
             sphere_direction=bool(shader_cfg.get("sphere_direction", False)),
             human_light=False, light_pos_freq=8, refrac_freq=2,
-            light_exp_max=5.0, refrac_exp_max=-0.2)
+            light_exp_max=5.0, refrac_exp_max=-0.2, dtype=dtype)
 
     # interfaces after the first are internal (renderer.py:2272)
     @staticmethod
