@@ -108,7 +108,13 @@ class ShapeRenderer:
         return self.sdf_net.apply(params["sdf"], x)[..., :1]
 
     def sdf_all(self, params, x):
-        """(sdf [N], feats [N,256], grad [N,3]) with per-sample jax.grad."""
+        """(sdf [N], feats [N,256], grad [N,3]) with per-sample jax.grad.
+
+        Reverse-mode under vmap measured faster than forward-mode tangents
+        (jax.linearize with 3 basis dirs) on TPU for this 8x256 MLP — the
+        training backward is reverse-over-reverse, like the reference's
+        double backward (field.py:158-170).
+        """
         out = self.sdf_net.apply(params["sdf"], x)
 
         def sdf_single(p):
