@@ -129,8 +129,10 @@ class Trainer:
                                               cfg.get("fixed_camera", False))
         extra = self.renderer.prepare_train_batch(batch) if hasattr(
             self.renderer, "prepare_train_batch") else batch
-        self.train_store = RayStore(extra, cfg["train_ray_num"],
-                                    seed=self.cfg["random_seed"])
+        # the whole ray store lives on device, replicated; per-step batches
+        # are gathered on device inside the jitted step (no host traffic)
+        self.device_store = replicate(
+            {k: np.asarray(v) for k, v in extra.items()}, self.mesh)
         self.train_hw = (h, w)
         self.val_info = build_imgs_info(self.database, self.test_ids,
                                         with_mask=True)
@@ -155,20 +157,51 @@ class Trainer:
 
     def _build_train_step(self):
         renderer, cfg = self.renderer, self.renderer.cfg
+        rn = cfg["train_ray_num"]
 
         def loss_fn(params, batch, rng, step):
             outputs = renderer.train_outputs(params, batch, rng, step)
             terms = compute_losses(outputs, batch, step, cfg)
             return terms["loss_total"], terms
 
-        def train_step(params, opt_state, batch, rng, step):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(self.mesh, P("data"))
+
+        def one_step(params, opt_state, store, rng, step):
+            # batch selection on device: zero per-step host->device traffic
+            # (crucial for remote/tunneled devices; also removes the input
+            # pipeline from the step's critical path on real pods)
+            r_sel, r_render = jax.random.split(rng)
+            n = store["rays_o"].shape[0]
+            idx = jax.random.randint(r_sel, (rn,), 0, n)
+            batch = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0),
+                                           store)
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (loss, terms), grads = grad_fn(params, batch, rng, step)
+            (loss, terms), grads = grad_fn(params, batch, r_render, step)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, terms
 
-        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        def train_chunk(params, opt_state, store, rng, step0, n_steps):
+            # n_steps optimizer steps under one lax.scan: a single dispatch
+            # per logging interval (the host loop costs ~3 RPC round trips
+            # per call — fatal over a tunneled device, measurable on pods)
+            def body(carry, i):
+                p, s = carry
+                r = jax.random.fold_in(rng, i)
+                p, s, terms = one_step(p, s, store, r, step0 + i)
+                return (p, s), terms
+
+            (params, opt_state), terms = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n_steps))
+            mean_terms = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0),
+                                                terms)
+            return params, opt_state, mean_terms
+
+        self.train_step = jax.jit(one_step, donate_argnums=(0, 1))
+        self.train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1),
+                                   static_argnums=(5,))
 
         def render_eval(params, batch, rng, step):
             return renderer.test_outputs(params, batch, rng, step)
@@ -197,34 +230,40 @@ class Trainer:
         t0 = time.time()
         ema: Dict[str, float] = {}
 
-        for step in range(start_step, cfg["total_step"]):
-            batch = shard_batch(self.train_store.next_batch(), self.mesh)
+        chunk = max(1, min(cfg["train_log_step"], cfg["save_interval"],
+                           cfg["val_interval"]))
+        step = start_step
+        while step < cfg["total_step"]:
+            n = min(chunk, cfg["total_step"] - step)
             rng, sub = jax.random.split(rng)
-            self.params, self.opt_state, terms = self.train_step(
-                self.params, self.opt_state, batch, sub,
-                jnp.asarray(step, jnp.int32))
+            self.params, self.opt_state, terms = self.train_chunk(
+                self.params, self.opt_state, self.device_store, sub,
+                jnp.asarray(step, jnp.int32), n)
+            step += n
 
-            if step % cfg["train_log_step"] == 0:
+            if step % cfg["train_log_step"] < chunk:
                 terms = jax.device_get(terms)
                 if debug_nan_enabled():
                     check_finite_tree(terms, "loss_terms")
                 scalars = {k: float(np.mean(v)) for k, v in terms.items()}
                 scalars["lr"] = float(self.schedule(step))
                 scalars["rays_per_sec"] = (
-                    cfg["train_log_step"] * self.renderer.cfg["train_ray_num"]
-                    / max(time.time() - t0, 1e-6)) if step > start_step else 0.0
+                    (step - getattr(self, "_t0_step", start_step))
+                    * self.renderer.cfg["train_ray_num"]
+                    / max(time.time() - t0, 1e-6)) if step > start_step + n else 0.0
                 t0 = time.time()
+                self._t0_step = step
                 self.logger.log(scalars, step)
 
-            if (step + 1) % cfg["val_interval"] == 0 or (step + 1) == cfg["total_step"]:
+            if step % cfg["val_interval"] < chunk and step > start_step:
                 rng, sub = jax.random.split(rng)
-                key_metric = self.validate(step + 1, sub)
+                key_metric = self.validate(step, sub)
                 if key_metric >= best_para:
                     best_para = key_metric
-                    save_checkpoint(self.best_ckpt_path, step + 1, self.params,
+                    save_checkpoint(self.best_ckpt_path, step, self.params,
                                     self.opt_state, best_para)
-            if (step + 1) % cfg["save_interval"] == 0:
-                save_checkpoint(self.ckpt_path, step + 1, self.params,
+            if step % cfg["save_interval"] < chunk:
+                save_checkpoint(self.ckpt_path, step, self.params,
                                 self.opt_state, best_para)
 
         save_checkpoint(self.ckpt_path, cfg["total_step"], self.params,
