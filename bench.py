@@ -92,18 +92,21 @@ def main():
     step = jnp.asarray(25000, jnp.int32)  # occ loss active: worst case
     rng = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: fetch a value (float(...)) rather than
+    # block_until_ready — on tunneled backends block_until_ready can return
+    # before execution finishes, which silently reports dispatch throughput
+    # instead of compute throughput.
     for i in range(3):
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = jitted(params, opt_state, batch, sub, step)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_iters = 20
     t0 = time.perf_counter()
     for i in range(n_iters):
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = jitted(params, opt_state, batch, sub, step)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_iters * rn / dt

@@ -58,19 +58,23 @@ class WNDense(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         in_features = x.shape[-1]
         v = self.param("v", self.kernel_init, (in_features, self.features))
         g = self.param("g", lambda rng: jnp.linalg.norm(v, axis=0))
         bias_init = self.bias_init or torch_linear_bias_init(in_features)
         norm = jnp.maximum(jnp.linalg.norm(v, axis=0), 1e-12)
         kernel = v * (g / norm)
+        b = self.param("b", bias_init, (self.features,)) if self.use_bias else None
+        if return_weights:
+            # fused-kernel path: hand back the normalized weights instead of
+            # applying the layer (param tree stays identical)
+            return kernel, b
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
         y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
-        if self.use_bias:
-            b = self.param("b", bias_init, (self.features,))
+        if b is not None:
             y = y + b
         return y.astype(self.dtype) if self.dtype is not None else y
 
@@ -84,11 +88,13 @@ class Dense(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (in_features, self.features))
         bias_init = self.bias_init or torch_linear_bias_init(in_features)
         b = self.param("bias", bias_init, (self.features,))
+        if return_weights:
+            return kernel, b
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
@@ -125,23 +131,71 @@ class Predictor(nn.Module):
     weight_norm: bool = True
     final_bias: Optional[float] = None
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False  # TPU fused-chain-MLP kernel (ops/fused_mlp.py)
 
     @nn.compact
     def __call__(self, x):
         layer = WNDense if self.weight_norm else Dense
-        for i in range(self.n_hidden):
-            x = layer(256, name=f"hidden_{i}", dtype=self.dtype)(x)
-            x = jax.nn.relu(x)
         final_bias_init = None
         if self.final_bias is not None:
             fb = float(self.final_bias)
             final_bias_init = lambda rng, shape, dtype=jnp.float32: jnp.full(shape, fb, dtype)
-        x = layer(self.out_dim, name="out", bias_init=final_bias_init,
-                  dtype=self.dtype)(x)
+
+        if self.fused:
+            wb = []
+            h_dim = x.shape[-1]
+            for i in range(self.n_hidden):
+                dummy = jnp.zeros((1, h_dim), x.dtype) if i else x
+                wb.append(layer(256, name=f"hidden_{i}",
+                                dtype=self.dtype)(dummy, return_weights=True))
+                h_dim = 256
+            wb.append(layer(self.out_dim, name="out", bias_init=final_bias_init,
+                            dtype=self.dtype)(jnp.zeros((1, 256), x.dtype),
+                                              return_weights=True))
+            x = _fused_predictor(x, wb, self.dtype)
+        else:
+            for i in range(self.n_hidden):
+                x = layer(256, name=f"hidden_{i}", dtype=self.dtype)(x)
+                x = jax.nn.relu(x)
+            x = layer(self.out_dim, name="out", bias_init=final_bias_init,
+                      dtype=self.dtype)(x)
         x = x.astype(jnp.float32)  # head outputs stay f32 for the physics
         if self.activation == "exp":
             return exp_activation(x, self.exp_max)
         return _ACTS[self.activation](x)
+
+
+def _fused_predictor(x, wb, dtype):
+    """Run a predictor layer stack through the fused chain kernel.
+
+    ``wb``: [(W, b)] per layer, hidden layers relu, final linear.  Pads every
+    dim to lane multiples; padded activations are annihilated by the zero
+    rows padded into the next layer's weights.
+    """
+    from nunerf_tpu.ops.fused_mlp import (ChainSpec, fused_chain_mlp, pad_up,
+                                          pad_last)
+
+    lead_shape = x.shape[:-1]
+    d_in = x.shape[-1]
+    x2 = pad_last(x.reshape(-1, d_in).astype(jnp.float32))
+    n_l = len(wb)
+    out_dim = wb[-1][0].shape[1]
+
+    dims = [x2.shape[-1]]
+    flat_w, flat_b = [], []
+    for li, (w, b) in enumerate(wb):
+        k_pad = dims[-1] - w.shape[0]
+        n_pad = pad_up(w.shape[1]) - w.shape[1]
+        flat_w.append(jnp.pad(w, ((0, k_pad), (0, n_pad))))
+        flat_b.append(jnp.pad(b, (0, n_pad))[None, :])
+        dims.append(w.shape[1] + n_pad)
+
+    spec = ChainSpec(
+        tuple(dims), ("relu",) * (n_l - 1) + ("none",), (False,) * n_l,
+        (1.0,) * n_l,
+        compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32")
+    y = fused_chain_mlp(spec, x2, *flat_w, *flat_b)[:, :out_dim]
+    return y.reshape(*lead_shape, out_dim)
 
 
 class WNMLPStack(nn.Module):

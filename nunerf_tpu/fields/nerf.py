@@ -26,6 +26,7 @@ class NeRFNetwork(nn.Module):
     skips: Sequence[int] = (4,)
     rgb_bias_init: float = 0.0  # reference sets log(0.5) (renderer.py:172)
     dtype: object = None  # compute dtype (bf16 mixed precision when set)
+    fused: bool = False  # TPU fused-chain-MLP kernel for the trunk
 
     def setup(self):
         self.pts_layers = [Dense(self.width, name=f"pts_{i}", dtype=self.dtype)
@@ -40,12 +41,58 @@ class NeRFNetwork(nn.Module):
 
     def _trunk(self, pts):
         enc = posenc(pts, self.multires)
+        if self.fused:
+            return self._trunk_fused(enc)
         h = enc
         for i in range(self.depth):
             h = self.pts_layers[i](h)
             h = jax.nn.relu(h)
             if i in self.skips:
                 h = jnp.concatenate([enc, h], axis=-1)
+        return h
+
+    def _trunk_fused(self, enc):
+        """Trunk through the fused chain kernel.  The post-act skip
+        ``h = concat([enc, h])`` makes the NEXT layer a split-kernel layer:
+        rows [0:E] of its weight multiply enc (x0 part), rows [E:] the
+        carried h."""
+        from nunerf_tpu.ops.fused_mlp import (ChainSpec, fused_chain_mlp,
+                                              pad_up, pad_last)
+        e = enc.shape[-1]
+        x2 = pad_last(enc.reshape(-1, e).astype(jnp.float32))
+        in_dim = x2.shape[-1]
+
+        dims, acts, has_skip, scales = [in_dim], [], [], []
+        flat_w, flat_b = [], []
+        for i in range(self.depth):
+            w, b = self.pts_layers[i](
+                jnp.zeros((1, e if i == 0 else
+                           (e + self.width if (i - 1) in self.skips
+                            else self.width))), return_weights=True)
+            if i == 0:
+                w = jnp.pad(w, ((0, in_dim - e), (0, 0)))
+                flat_w.append(w)
+                has_skip.append(False)
+            elif (i - 1) in self.skips:
+                w_x, w_h = w[:e], w[e:]
+                flat_w.append(w_h)
+                flat_w.append(jnp.pad(w_x, ((0, in_dim - e), (0, 0))))
+                has_skip.append(True)
+            else:
+                flat_w.append(w)
+                has_skip.append(False)
+            flat_b.append(b[None, :])
+            dims.append(self.width)
+            acts.append("relu")
+            scales.append(1.0)
+
+        spec = ChainSpec(
+            tuple(dims), tuple(acts), tuple(has_skip), tuple(scales),
+            compute_dtype="bfloat16" if self.dtype == jnp.bfloat16 else "float32")
+        h = fused_chain_mlp(spec, x2, *flat_w, *flat_b)
+        h = h.reshape(*enc.shape[:-1], self.width)
+        if (self.depth - 1) in self.skips:
+            h = jnp.concatenate([enc, h], axis=-1)
         return h
 
     def __call__(self, pts, views):

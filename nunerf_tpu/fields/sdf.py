@@ -47,7 +47,7 @@ class SDFNetwork(nn.Module):
     inside_outside: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         d_in = x.shape[-1]
         in_dim = posenc_dim(self.multires, d_in) if self.multires > 0 else d_in
         dims = [in_dim] + [self.d_hidden] * self.n_layers + [self.d_out]
@@ -57,6 +57,7 @@ class SDFNetwork(nn.Module):
         if self.multires > 0:
             inputs = posenc(inputs, self.multires)
 
+        wb, h_dim = [], in_dim
         h = inputs
         for l in range(num_layers - 1):
             if l + 1 in self.skip_in:
@@ -100,16 +101,79 @@ class SDFNetwork(nn.Module):
             kwargs = {}
             if k_init is not None:
                 kwargs = dict(kernel_init=k_init, bias_init=b_init)
+            if return_weights:
+                cur_in = h_dim + (dims[0] if l in self.skip_in else 0)
+                wb.append(WNDense(out_dim, name=f"lin{l}", **kwargs)(
+                    jnp.zeros((1, cur_in)), return_weights=True))
+                h_dim = out_dim
+                continue
             if l in self.skip_in:
                 h = jnp.concatenate([h, inputs], axis=-1) / np.sqrt(2)
             h = WNDense(out_dim, name=f"lin{l}", **kwargs)(h)
             if l < num_layers - 2:
                 # softplus with beta=100
                 h = jax.nn.softplus(h * 100.0) / 100.0
+        if return_weights:
+            return wb
         return h
 
     def sdf(self, x):
         return self(x)[..., :1]
+
+
+def fused_sdf_apply(module: SDFNetwork, params, x):
+    """SDF forward through the fused chain kernel (ops/fused_mlp.py).
+
+    First-order differentiable only (custom VJP) — callers that need the
+    eikonal double backward use ``module.apply`` directly; this path serves
+    the no-grad sampling sweeps, the occlusion march, and grid extraction,
+    which together dominate SDF evaluations per train step.
+
+    The NeuS skip layer (width ``d_hidden - in_dim`` pre-concat) is padded to
+    lane multiples; padded activations are annihilated by zero weight rows.
+    """
+    from nunerf_tpu.ops.fused_mlp import (ChainSpec, fused_chain_mlp, pad_up,
+                                          pad_last)
+
+    wb = module.apply(params, jnp.zeros((1, x.shape[-1])), return_weights=True)
+    in_dim = posenc_dim(module.multires, x.shape[-1]) \
+        if module.multires > 0 else x.shape[-1]
+
+    inputs = x.reshape(-1, x.shape[-1]) * module.scale
+    if module.multires > 0:
+        inputs = posenc(inputs, module.multires)
+    x2 = pad_last(inputs.astype(jnp.float32))
+    e_pad = x2.shape[-1]
+
+    n_l = len(wb)
+    dims, acts, has_skip, scales = [e_pad], [], [], []
+    flat_w, flat_b = [], []
+    prev_pad, prev_real = e_pad, in_dim
+    for l, (w, b) in enumerate(wb):
+        real_out = w.shape[1]
+        out_pad = pad_up(real_out)
+        if l in module.skip_in:
+            # input was concat([h(prev_real), inputs(in_dim)]) / sqrt(2)
+            w_h, w_x = w[:prev_real], w[prev_real:]
+            flat_w.append(jnp.pad(w_h, ((0, prev_pad - prev_real),
+                                        (0, out_pad - real_out))))
+            flat_w.append(jnp.pad(w_x, ((0, e_pad - in_dim),
+                                        (0, out_pad - real_out))))
+            has_skip.append(True)
+            scales.append(1.0 / float(np.sqrt(2)))
+        else:
+            flat_w.append(jnp.pad(w, ((0, prev_pad - prev_real),
+                                      (0, out_pad - real_out))))
+            has_skip.append(False)
+            scales.append(1.0)
+        flat_b.append(jnp.pad(b, (0, out_pad - real_out))[None, :])
+        dims.append(out_pad)
+        acts.append("softplus100" if l < n_l - 1 else "none")
+        prev_pad, prev_real = out_pad, real_out
+
+    spec = ChainSpec(tuple(dims), tuple(acts), tuple(has_skip), tuple(scales))
+    y = fused_chain_mlp(spec, x2, *flat_w, *flat_b)[:, :module.d_out]
+    return y.reshape(*x.shape[:-1], module.d_out)
 
 
 def sdf_value_feature_grad(apply_fn, params, points):

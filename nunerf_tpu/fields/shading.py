@@ -60,36 +60,37 @@ class AppShadingNetwork(nn.Module):
     refrac_exp_max: Optional[float] = None  # SpecInner uses -0.2 (field.py:1374)
     diffuse_only: bool = False              # AppShadingNetwork_DiffuseInner
     dtype: Any = None                        # compute dtype (bf16 mixed prec.)
+    fused: bool = False                      # TPU fused-chain-MLP kernels
 
     def setup(self):
-        dt = self.dtype
+        dt, fu = self.dtype, self.fused
         self.metallic_predictor = Predictor(
             1, final_bias=self.metallic_init if self.metallic_init != 0 else None,
-            name="metallic", dtype=dt)
+            name="metallic", dtype=dt, fused=fu)
         self.roughness_predictor = Predictor(
             1, final_bias=self.roughness_init if self.roughness_init != 0 else None,
-            name="roughness", dtype=dt)
-        self.albedo_predictor = Predictor(3, name="albedo", dtype=dt)
+            name="roughness", dtype=dt, fused=fu)
+        self.albedo_predictor = Predictor(3, name="albedo", dtype=dt, fused=fu)
         self.sph_enc = make_ide_fn(5)
 
         outer_in = 72 * 2 if self.sphere_direction else 72
         del outer_in  # input dim is inferred by flax; kept for documentation
         self.outer_light = Predictor(3, activation="exp", exp_max=self.light_exp_max,
                                      final_bias=LOG_HALF, name="outer_light",
-                                     dtype=dt)
+                                     dtype=dt, fused=fu)
         self.inner_light = Predictor(3, activation="exp", exp_max=self.light_exp_max,
                                      final_bias=LOG_HALF, name="inner_light",
-                                     dtype=dt)
+                                     dtype=dt, fused=fu)
         self.inner_weight = Predictor(1, activation="none",
                                       final_bias=self.inner_init,
-                                      name="inner_weight", dtype=dt)
+                                      name="inner_weight", dtype=dt, fused=fu)
         self.transmission_weight = Predictor(1, name="transmission_weight",
-                                             dtype=dt)
+                                             dtype=dt, fused=fu)
         self.iors = Predictor(1, name="iors")  # vestigial but in the checkpoint
         r_exp = self.light_exp_max if self.refrac_exp_max is None else self.refrac_exp_max
         self.refrac_light = Predictor(3, activation="exp", exp_max=r_exp,
                                       final_bias=LOG_HALF, name="refrac_light",
-                                      dtype=dt)
+                                      dtype=dt, fused=fu)
         if self.human_light:
             self.human_light_predictor = Predictor(
                 4, activation="exp", exp_max=0.0, final_bias=float(np.log(0.01)),

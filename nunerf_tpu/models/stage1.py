@@ -75,8 +75,13 @@ class ShapeRenderer:
         self.var_net = SingleVarianceNetwork(
             init_val=self.cfg["inv_s_init"], activation=self.cfg["std_act"])
         dtype = jnp.bfloat16 if self.cfg.get("mixed_precision", True) else None
+        fused = self.cfg.get("fused_mlp")
+        if fused is None:
+            from nunerf_tpu.ops.fused_mlp import use_fused_mlp
+            fused = use_fused_mlp()
+        self.fused = bool(fused)
         self.outer_nerf = NeRFNetwork(rgb_bias_init=float(np.log(0.5)),
-                                      dtype=dtype)
+                                      dtype=dtype, fused=self.fused)
         self.color_net = AppShadingNetwork(
             human_light=shader_cfg["human_light"],
             sphere_direction=shader_cfg["sphere_direction"],
@@ -86,7 +91,7 @@ class ShapeRenderer:
             metallic_init=shader_cfg["metallic_init"],
             light_exp_max=shader_cfg["light_exp_max"],
             refrac_freq=shader_cfg["refrac_freq"],
-            dtype=dtype)
+            dtype=dtype, fused=self.fused)
         self.inf_out = InfOutNetwork()
 
     # ------------------------------------------------------------------
@@ -105,6 +110,12 @@ class ShapeRenderer:
 
     # ----- field evaluation helpers -----------------------------------
     def sdf(self, params, x):
+        """SDF value only — the hot path of the sampling sweeps and the
+        occlusion march (all under stop_gradient / first-order), so it may
+        use the fused kernel; ``sdf_all`` (second-order) may not."""
+        if self.fused:
+            from nunerf_tpu.fields.sdf import fused_sdf_apply
+            return fused_sdf_apply(self.sdf_net, params["sdf"], x)[..., :1]
         return self.sdf_net.apply(params["sdf"], x)[..., :1]
 
     def sdf_all(self, params, x):
