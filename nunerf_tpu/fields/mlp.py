@@ -168,33 +168,26 @@ class Predictor(nn.Module):
 def _fused_predictor(x, wb, dtype):
     """Run a predictor layer stack through the fused chain kernel.
 
-    ``wb``: [(W, b)] per layer, hidden layers relu, final linear.  Pads every
-    dim to lane multiples; padded activations are annihilated by the zero
-    rows padded into the next layer's weights.
+    ``wb``: [(W, b)] per layer, hidden layers relu, final linear.  Logical
+    (unpadded) shapes go straight to the kernel — Mosaic masks unaligned
+    lane dims in VMEM, so no HBM-visible pad/slice copies.
     """
-    from nunerf_tpu.ops.fused_mlp import (ChainSpec, fused_chain_mlp, pad_up,
-                                          pad_last)
+    from nunerf_tpu.ops.fused_mlp import ChainSpec, fused_chain_mlp
 
     lead_shape = x.shape[:-1]
     d_in = x.shape[-1]
-    x2 = pad_last(x.reshape(-1, d_in).astype(jnp.float32))
+    x2 = x.reshape(-1, d_in).astype(jnp.float32)
     n_l = len(wb)
     out_dim = wb[-1][0].shape[1]
 
-    dims = [x2.shape[-1]]
-    flat_w, flat_b = [], []
-    for li, (w, b) in enumerate(wb):
-        k_pad = dims[-1] - w.shape[0]
-        n_pad = pad_up(w.shape[1]) - w.shape[1]
-        flat_w.append(jnp.pad(w, ((0, k_pad), (0, n_pad))))
-        flat_b.append(jnp.pad(b, (0, n_pad))[None, :])
-        dims.append(w.shape[1] + n_pad)
-
+    dims = [d_in] + [w.shape[1] for w, _ in wb]
+    flat_w = [w for w, _ in wb]
+    flat_b = [b[None, :] for _, b in wb]
     spec = ChainSpec(
         tuple(dims), ("relu",) * (n_l - 1) + ("none",), (False,) * n_l,
         (1.0,) * n_l,
         compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32")
-    y = fused_chain_mlp(spec, x2, *flat_w, *flat_b)[:, :out_dim]
+    y = fused_chain_mlp(spec, x2, *flat_w, *flat_b)
     return y.reshape(*lead_shape, out_dim)
 
 

@@ -56,27 +56,21 @@ class NeRFNetwork(nn.Module):
         ``h = concat([enc, h])`` makes the NEXT layer a split-kernel layer:
         rows [0:E] of its weight multiply enc (x0 part), rows [E:] the
         carried h."""
-        from nunerf_tpu.ops.fused_mlp import (ChainSpec, fused_chain_mlp,
-                                              pad_up, pad_last)
+        from nunerf_tpu.ops.fused_mlp import ChainSpec, fused_chain_mlp
         e = enc.shape[-1]
-        x2 = pad_last(enc.reshape(-1, e).astype(jnp.float32))
-        in_dim = x2.shape[-1]
+        x2 = enc.reshape(-1, e).astype(jnp.float32)
 
-        dims, acts, has_skip, scales = [in_dim], [], [], []
+        dims, acts, has_skip, scales = [e], [], [], []
         flat_w, flat_b = [], []
         for i in range(self.depth):
             w, b = self.pts_layers[i](
                 jnp.zeros((1, e if i == 0 else
                            (e + self.width if (i - 1) in self.skips
                             else self.width))), return_weights=True)
-            if i == 0:
-                w = jnp.pad(w, ((0, in_dim - e), (0, 0)))
-                flat_w.append(w)
-                has_skip.append(False)
-            elif (i - 1) in self.skips:
+            if i > 0 and (i - 1) in self.skips:
                 w_x, w_h = w[:e], w[e:]
                 flat_w.append(w_h)
-                flat_w.append(jnp.pad(w_x, ((0, in_dim - e), (0, 0))))
+                flat_w.append(w_x)
                 has_skip.append(True)
             else:
                 flat_w.append(w)

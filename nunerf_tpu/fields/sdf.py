@@ -121,59 +121,80 @@ class SDFNetwork(nn.Module):
         return self(x)[..., :1]
 
 
-def fused_sdf_apply(module: SDFNetwork, params, x):
-    """SDF forward through the fused chain kernel (ops/fused_mlp.py).
+def _sdf_chain(module: SDFNetwork, params, d_in: int):
+    """(spec, flat) of the SDF chain for the fused kernels.  The NeuS skip
+    layer's odd widths go to the kernel unpadded (Mosaic masks in VMEM)."""
+    from nunerf_tpu.ops.fused_mlp import ChainSpec
 
-    First-order differentiable only (custom VJP) — callers that need the
-    eikonal double backward use ``module.apply`` directly; this path serves
-    the no-grad sampling sweeps, the occlusion march, and grid extraction,
-    which together dominate SDF evaluations per train step.
-
-    The NeuS skip layer (width ``d_hidden - in_dim`` pre-concat) is padded to
-    lane multiples; padded activations are annihilated by zero weight rows.
-    """
-    from nunerf_tpu.ops.fused_mlp import (ChainSpec, fused_chain_mlp, pad_up,
-                                          pad_last)
-
-    wb = module.apply(params, jnp.zeros((1, x.shape[-1])), return_weights=True)
-    in_dim = posenc_dim(module.multires, x.shape[-1]) \
-        if module.multires > 0 else x.shape[-1]
-
-    inputs = x.reshape(-1, x.shape[-1]) * module.scale
-    if module.multires > 0:
-        inputs = posenc(inputs, module.multires)
-    x2 = pad_last(inputs.astype(jnp.float32))
-    e_pad = x2.shape[-1]
+    wb = module.apply(params, jnp.zeros((1, d_in)), return_weights=True)
+    in_dim = posenc_dim(module.multires, d_in) if module.multires > 0 else d_in
 
     n_l = len(wb)
-    dims, acts, has_skip, scales = [e_pad], [], [], []
+    dims, acts, has_skip, scales = [in_dim], [], [], []
     flat_w, flat_b = [], []
-    prev_pad, prev_real = e_pad, in_dim
+    prev_real = in_dim
     for l, (w, b) in enumerate(wb):
-        real_out = w.shape[1]
-        out_pad = pad_up(real_out)
         if l in module.skip_in:
             # input was concat([h(prev_real), inputs(in_dim)]) / sqrt(2)
             w_h, w_x = w[:prev_real], w[prev_real:]
-            flat_w.append(jnp.pad(w_h, ((0, prev_pad - prev_real),
-                                        (0, out_pad - real_out))))
-            flat_w.append(jnp.pad(w_x, ((0, e_pad - in_dim),
-                                        (0, out_pad - real_out))))
+            flat_w.append(w_h)
+            flat_w.append(w_x)
             has_skip.append(True)
             scales.append(1.0 / float(np.sqrt(2)))
         else:
-            flat_w.append(jnp.pad(w, ((0, prev_pad - prev_real),
-                                      (0, out_pad - real_out))))
+            flat_w.append(w)
             has_skip.append(False)
             scales.append(1.0)
-        flat_b.append(jnp.pad(b, (0, out_pad - real_out))[None, :])
-        dims.append(out_pad)
+        flat_b.append(b[None, :])
+        dims.append(w.shape[1])
         acts.append("softplus100" if l < n_l - 1 else "none")
-        prev_pad, prev_real = out_pad, real_out
+        prev_real = w.shape[1]
 
     spec = ChainSpec(tuple(dims), tuple(acts), tuple(has_skip), tuple(scales))
-    y = fused_chain_mlp(spec, x2, *flat_w, *flat_b)[:, :module.d_out]
+    return spec, flat_w + flat_b
+
+
+def _sdf_embed(module: SDFNetwork, x2):
+    inputs = x2 * module.scale
+    if module.multires > 0:
+        inputs = posenc(inputs, module.multires)
+    return inputs.astype(jnp.float32)
+
+
+def fused_sdf_apply(module: SDFNetwork, params, x):
+    """SDF forward through the fused chain kernel (ops/fused_mlp.py).
+
+    First-order differentiable only (custom VJP) — serves the no-grad
+    sampling sweeps, the occlusion march, and grid extraction; the main pass
+    uses ``fused_sdf_all`` (value+jacobian kernel).
+    """
+    from nunerf_tpu.ops.fused_mlp import fused_chain_mlp
+
+    spec, flat = _sdf_chain(module, params, x.shape[-1])
+    x2 = _sdf_embed(module, x.reshape(-1, x.shape[-1]))
+    y = fused_chain_mlp(spec, x2, *flat)
     return y.reshape(*x.shape[:-1], module.d_out)
+
+
+def fused_sdf_all(module: SDFNetwork, params, x):
+    """(sdf, feats, grad_x) via the fused value+jacobian kernel.
+
+    The kernel emits d sdf / d embedding; the positional-encoding pullback
+    (elementwise) maps it to xyz space.  Training losses of BOTH outputs
+    (color/eikonal through grad_x) differentiate correctly through the
+    hand-derived VJP kernel — this replaces ``sdf_value_feature_grad``'s
+    vmap(jax.grad) + XLA double backward on the hot path.
+    """
+    from nunerf_tpu.ops.fused_mlp import chain_mlp_with_grad0
+
+    spec, flat = _sdf_chain(module, params, x.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+    inputs, emb_pull = jax.vjp(lambda xx: _sdf_embed(module, xx), x2)
+    y, j_emb = chain_mlp_with_grad0(spec, inputs, *flat)
+    grad_x = emb_pull(j_emb)[0]
+    lead = x.shape[:-1]
+    return (y[..., 0].reshape(lead), y[..., 1:].reshape(*lead, -1),
+            grad_x.reshape(*lead, x.shape[-1]))
 
 
 def sdf_value_feature_grad(apply_fn, params, points):

@@ -124,8 +124,12 @@ class ShapeRenderer:
         Reverse-mode under vmap measured faster than forward-mode tangents
         (jax.linearize with 3 basis dirs) on TPU for this 8x256 MLP — the
         training backward is reverse-over-reverse, like the reference's
-        double backward (field.py:158-170).
+        double backward (field.py:158-170).  On TPU the fused value+jacobian
+        kernel (hand-derived VJP, all sweeps in VMEM) replaces both.
         """
+        if self.fused:
+            from nunerf_tpu.fields.sdf import fused_sdf_all
+            return fused_sdf_all(self.sdf_net, params["sdf"], x)
         out = self.sdf_net.apply(params["sdf"], x)
 
         def sdf_single(p):

@@ -75,7 +75,9 @@ class ChainSpec:
     has_skip: per-layer bool — layer also consumes x0 through a second kernel.
     scales: per-layer scalar multiplier on the pre-bias sum (1/sqrt(2) for
         NeuS skips, else 1).
-    dims: (in_dim, w1, ..., wL) — all padded to LANE multiples by the caller.
+    dims: (in_dim, w1, ..., wL) — LOGICAL dims; Mosaic masks unaligned
+        lane dims inside the kernel, so callers pass weights unpadded (no
+        HBM-visible pad/slice copies).
     """
 
     def __init__(self, dims, acts, has_skip, scales, compute_dtype="float32",
@@ -89,7 +91,6 @@ class ChainSpec:
         self.block_rows_bwd = int(block_rows_bwd)
         self.n_layers = len(self.acts)
         assert len(self.dims) == self.n_layers + 1
-        assert all(d % LANE == 0 for d in self.dims), self.dims
 
     def _key(self):
         return (self.dims, self.acts, self.has_skip, self.scales,
@@ -401,3 +402,317 @@ def use_fused_mlp() -> bool:
     kernel beats XLA."""
     v = os.environ.get("NUNERF_FUSED_MLP")
     return v is not None and v not in ("0", "false", "")
+
+
+# ---------------------------------------------------------------------------
+# Chain MLP with input-gradient of output channel 0 (the SDF main path).
+#
+# Computes y = chain(x) AND j = d y[...,0] / d x in one kernel (forward +
+# in-VMEM reverse sweep).  Training differentiates losses of BOTH y and j
+# wrt (x, W, b); that second-order structure is provided by a hand-derived
+# VJP kernel (reverse over the fwd+reverse program), so no nested autodiff
+# through Pallas is needed.  Replaces fields/sdf.py sdf_value_feature_grad's
+# vmap(jax.grad) + XLA double backward (reference field.py:158-170).
+# ---------------------------------------------------------------------------
+
+def _act_grad2_from_d(name, d):
+    """sigma''(z) from sigma'(z).  softplus100: d' = 100 d (1-d); relu/id: 0."""
+    if name == "softplus100":
+        return 100.0 * d * (1.0 - d)
+    return jnp.zeros_like(d)
+
+
+def _jac_sweeps(spec, x, weights, biases):
+    """Forward + J-pass on one tile (f32).  Returns (h_list, d_list, q_list,
+    y, j) where q_list[l] is the cotangent at h_l of y[...,0] (l = 0..L-2),
+    j = d y0/dx."""
+    assert spec.acts[-1] == "none", "jac kernel expects a linear final layer"
+    n_l = spec.n_layers
+    h_list, _ = _forward_tile(spec, x, weights, biases, jnp.float32)
+    d_list = [_act_grad_from_a(spec.acts[l], h_list[l]) for l in range(n_l)]
+
+    # weight index bookkeeping: start index of each layer's weights
+    starts = []
+    wi = 0
+    for l in range(n_l):
+        starts.append(wi)
+        wi += 2 if spec.has_skip[l] else 1
+
+    # J-pass (reverse for channel 0): q_{l-1} = s_l (p_l @ Wh_l^T),
+    # p_l = q_l * d_l, seeded with p_L = e0 (last act linear).
+    j = jnp.zeros(x.shape, jnp.float32)
+    l = n_l - 1
+    w_h = weights[starts[l]]
+    q = spec.scales[l] * jnp.broadcast_to(w_h[:, 0][None, :],
+                                          (x.shape[0], w_h.shape[0]))
+    if spec.has_skip[l]:
+        w_x = weights[starts[l] + 1]
+        j = j + spec.scales[l] * jnp.broadcast_to(w_x[:, 0][None, :], x.shape)
+    q_list = [None] * n_l
+    q_list[l - 1] = q
+    for l in reversed(range(n_l - 1)):
+        p = q_list[l] * d_list[l]
+        w_h = weights[starts[l]]
+        nxt = jax.lax.dot_general(p, w_h, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        nxt = nxt * spec.scales[l]
+        if spec.has_skip[l]:
+            w_x = weights[starts[l] + 1]
+            j = j + spec.scales[l] * jax.lax.dot_general(
+                p, w_x, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if l == 0:
+            j = j + nxt
+        else:
+            q_list[l - 1] = nxt
+    return h_list, d_list, q_list, starts, h_list[-1], j
+
+
+def _jac_fwd_kernel(spec, n_rows, x_ref, *refs):
+    nw = _weights_per_layer(spec)[1]
+    w_refs = refs[:nw]
+    b_refs = refs[nw:nw + spec.n_layers]
+    y_ref = refs[nw + spec.n_layers]
+    j_ref = refs[nw + spec.n_layers + 1]
+
+    i = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (x_ref.shape[0], 1), 0)
+    valid = (i * spec.block_rows + rows) < n_rows
+    x = jnp.where(valid, x_ref[:], 0.0)
+    weights = [w[:] for w in w_refs]
+    biases = [b[:] for b in b_refs]
+    *_, y, j = _jac_sweeps(spec, x, weights, biases)
+    y_ref[:] = y
+    j_ref[:] = j
+
+
+def _make_jac_bwd_kernel(spec, n_rows):
+    counts, nw = _weights_per_layer(spec)
+    n_l = spec.n_layers
+
+    def kernel(x_ref, gy_ref, gj_ref, *refs):
+        w_refs = refs[:nw]
+        b_refs = refs[nw:nw + n_l]
+        dx_ref = refs[nw + n_l]
+        dw_refs = refs[nw + n_l + 1:nw + n_l + 1 + nw]
+        db_refs = refs[nw + n_l + 1 + nw:]
+
+        i = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (x_ref.shape[0], 1), 0)
+        valid = (i * spec.block_rows_bwd + rows) < n_rows
+        x = jnp.where(valid, x_ref[:], 0.0)
+        gy = jnp.where(valid, gy_ref[:], 0.0)
+        gj = jnp.where(valid, gj_ref[:], 0.0)
+
+        weights = [w[:] for w in w_refs]
+        biases = [b[:] for b in b_refs]
+        h_list, d_list, q_list, starts, _, _ = _jac_sweeps(
+            spec, x, weights, biases)
+
+        # ---- reverse of the J-pass (runs upward l = 0..L-1) -------------
+        # J-pass:  p_l = q_l * d_l ; q_{l-1} = s_l p_l @ Wh_l^T ;
+        #          j += s_l p_l @ Wx_l^T (skips) ; j += q_{-1}-style at l=0.
+        # Cotangents: qbar_{l-1} -> pbar_l -> (qbar_l, dbar_l, dWh, dWx).
+        dbar = [None] * n_l          # cotangent on d_l
+        qbar = gj                    # cotangent on the quantity flowing INTO
+        #                              layer l's transposed matmul (at l=0
+        #                              that quantity lands directly in j)
+        for l in range(n_l - 1):
+            w_h = weights[starts[l]]
+            p = q_list[l] * d_list[l]
+            # pbar from the Wh^T matmul that produced q_{l-1} (or j at l=0)
+            pbar = spec.scales[l] * jnp.dot(qbar, w_h,
+                                            preferred_element_type=jnp.float32)
+            # dWh from that same matmul: q_{l-1}[t,i] = s sum_j p[t,j] Wh[i,j]
+            dwh = spec.scales[l] * jax.lax.dot_general(
+                qbar, p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            _accum_pid(dw_refs[starts[l]], dwh, i, init=True)
+            if spec.has_skip[l]:
+                w_x = weights[starts[l] + 1]
+                pbar = pbar + spec.scales[l] * jnp.dot(
+                    gj, w_x, preferred_element_type=jnp.float32)
+                dwx = spec.scales[l] * jax.lax.dot_general(
+                    gj, p, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                _accum_pid(dw_refs[starts[l] + 1], dwx, i, init=True)
+            dbar[l] = pbar * q_list[l]
+            qbar = pbar * d_list[l]
+        # last layer: q_{L-1} = s * broadcast(Wh_L[:,0]): contributes to
+        # column 0 of Wh_L (and Wx_L for skips)
+        l = n_l - 1
+        dwh_last_col = spec.scales[l] * jnp.sum(qbar, axis=0)  # [w_{L-1}]
+        if spec.has_skip[l]:
+            dwx_last_col = spec.scales[l] * jnp.sum(gj, axis=0)
+        dbar[l] = None  # linear final layer: d == 1, no dependence
+
+        # ---- standard reverse of the forward (downward l=L-1..0) --------
+        # z_l cotangent: hbar_l * d_l + dbar_l * sigma''(z_l)
+        hbar = gy
+        dx = jnp.zeros(x.shape, jnp.float32)
+        for l in reversed(range(n_l)):
+            zbar = hbar * d_list[l]
+            if dbar[l] is not None:
+                zbar = zbar + dbar[l] * _act_grad2_from_d(spec.acts[l],
+                                                          d_list[l])
+            _accum_pid(db_refs[l], jnp.sum(zbar, axis=0, keepdims=True), i,
+                       init=True)
+            zs = zbar * spec.scales[l]
+            h_prev = h_list[l - 1] if l > 0 else x
+            dwh = jax.lax.dot_general(h_prev, zs, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            last = l == n_l - 1
+            if last:
+                # J-pass contribution lands in column 0 of the final weight
+                col0 = jax.lax.broadcasted_iota(jnp.int32, dwh.shape, 1) == 0
+                dwh = jnp.where(col0, dwh + dwh_last_col[:, None], dwh)
+            # the last layer's dW blocks are first touched HERE (the J-pass
+            # reverse never writes them), so they need the pid-0 init
+            _accum_pid(dw_refs[starts[l]], dwh, i, init=last)
+            if spec.has_skip[l]:
+                dwx = jax.lax.dot_general(x, zs, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                if last:
+                    c0 = jax.lax.broadcasted_iota(jnp.int32, dwx.shape, 1) == 0
+                    dwx = jnp.where(c0, dwx + dwx_last_col[:, None], dwx)
+                _accum_pid(dw_refs[starts[l] + 1], dwx, i, init=last)
+                dx = dx + jax.lax.dot_general(
+                    zs, weights[starts[l] + 1], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            gh = jax.lax.dot_general(zs, weights[starts[l]],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if l > 0:
+                hbar = gh
+            else:
+                dx = dx + gh
+        dx_ref[:] = dx
+
+    return kernel
+
+
+def _accum_pid(ref, val, pid, init):
+    """Accumulate into a grid-revisited block.  ``init=True`` writers run
+    FIRST for that ref within the kernel body; on pid 0 they initialize."""
+    if init:
+        @pl.when(pid == 0)
+        def _():
+            ref[:] = val
+
+        @pl.when(pid > 0)
+        def _():
+            ref[:] = ref[:] + val
+    else:
+        ref[:] = ref[:] + val
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def chain_mlp_with_grad0(spec: ChainSpec, x, *flat):
+    """(y, j): full chain output and d y[...,0] / d x, fused.  f32 only."""
+    return _jac_fwd_call(spec, x, flat)
+
+
+def _jac_fwd_call(spec, x, flat):
+    n, e = x.shape
+    t = spec.block_rows
+    grid = (pl.cdiv(n, t),)
+    w_shapes = _flat_weight_shapes(spec)
+
+    in_specs = [pl.BlockSpec((t, e), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for s in w_shapes:
+        in_specs.append(pl.BlockSpec(s, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for l in range(spec.n_layers):
+        in_specs.append(pl.BlockSpec((1, spec.dims[l + 1]), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    flops = 4 * n * sum(a * b for a, b in w_shapes)
+    return pl.pallas_call(
+        functools.partial(_jac_fwd_kernel, spec, n),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((t, spec.dims[-1]), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((t, e), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n, spec.dims[-1]), jnp.float32),
+                   jax.ShapeDtypeStruct((n, e), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * n * (2 * e + spec.dims[-1]),
+            transcendentals=n * 512),
+        interpret=_interpret(),
+    )(x, *flat)
+
+
+def _jac_bwd_call(spec, x, gy, gj, flat):
+    n, e = x.shape
+    t = spec.block_rows_bwd
+    grid = (pl.cdiv(n, t),)
+    counts, nw = _weights_per_layer(spec)
+    w_shapes = _flat_weight_shapes(spec)
+
+    in_specs = [
+        pl.BlockSpec((t, e), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, spec.dims[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, e), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for s in w_shapes:
+        in_specs.append(pl.BlockSpec(s, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for l in range(spec.n_layers):
+        in_specs.append(pl.BlockSpec((1, spec.dims[l + 1]), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((n, e), jnp.float32)]
+    out_specs = [pl.BlockSpec((t, e), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    for s in w_shapes:
+        out_shapes.append(jax.ShapeDtypeStruct(s, jnp.float32))
+        out_specs.append(pl.BlockSpec(s, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    for l in range(spec.n_layers):
+        out_shapes.append(jax.ShapeDtypeStruct((1, spec.dims[l + 1]),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec((1, spec.dims[l + 1]), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    flops = 12 * n * sum(a * b for a, b in w_shapes)
+    res = pl.pallas_call(
+        _make_jac_bwd_kernel(spec, n),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * n * (3 * e + spec.dims[-1]),
+            transcendentals=n * 512),
+        interpret=_interpret(),
+    )(x, gy, gj, *flat)
+    dx = res[0]
+    return dx, tuple(res[1:])
+
+
+def _jac_fwd_rule(spec, x, *flat):
+    out = _jac_fwd_call(spec, x, flat)
+    return out, (x, flat)
+
+
+def _jac_bwd_rule(spec, res, g):
+    x, flat = res
+    gy, gj = g
+    dx, dflat = _jac_bwd_call(spec, x, gy, gj, flat)
+    return (dx,) + tuple(dflat)
+
+
+chain_mlp_with_grad0.defvjp(_jac_fwd_rule, _jac_bwd_rule)
+
+
+def chain_mlp_with_grad0_reference(spec: ChainSpec, x, *flat):
+    """XLA reference of (y, d y0/dx) for parity tests."""
+    y = chain_mlp_reference(spec, x, *flat)
+
+    def y0(pt):
+        return chain_mlp_reference(spec, pt[None], *flat)[0, 0]
+
+    j = jax.vmap(jax.grad(y0))(x)
+    return y, j

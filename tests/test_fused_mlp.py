@@ -114,3 +114,68 @@ def test_nerf_fused_parity():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chain_with_grad0_parity():
+    """Value+jacobian kernel incl. the hand-derived second-order VJP."""
+    from nunerf_tpu.ops.fused_mlp import (chain_mlp_with_grad0,
+                                          chain_mlp_with_grad0_reference)
+    spec = ChainSpec((39, 128, 89, 128, 129),
+                     ("softplus100",) * 3 + ("none",),
+                     (False, False, True, False),
+                     (1.0, 1.0, 1 / math.sqrt(2), 1.0))
+    flat = _make_flat(spec)
+    x = jnp.asarray(rs.randn(150, 39).astype(np.float32))
+    y1, j1 = chain_mlp_with_grad0(spec, x, *flat)
+    y2, j2 = chain_mlp_with_grad0_reference(spec, x, *flat)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j2),
+                               rtol=1e-4, atol=1e-4)
+
+    gy = jnp.asarray(rs.randn(*y1.shape).astype(np.float32))
+    gj = jnp.asarray(rs.randn(*j1.shape).astype(np.float32))
+
+    def loss(fn, x, f):
+        y, j = fn(spec, x, *f)
+        return jnp.sum(y * gy) + jnp.sum(j * gj)
+
+    g1 = jax.grad(loss, argnums=(1, 2))(chain_mlp_with_grad0, x, flat)
+    g2 = jax.grad(loss, argnums=(1, 2))(chain_mlp_with_grad0_reference, x, flat)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-4)
+
+
+def test_fused_sdf_all_parity():
+    from nunerf_tpu.fields.sdf import (SDFNetwork, fused_sdf_all,
+                                       sdf_value_feature_grad)
+    x = jnp.asarray(rs.randn(100, 3).astype(np.float32)) * 0.5
+    s = SDFNetwork(n_layers=4, d_hidden=128, d_out=129, skip_in=(2,))
+    params = s.init(jax.random.PRNGKey(1), x)
+    v0, f0, g0 = sdf_value_feature_grad(s.apply, params, x)
+    v1, f1, g1 = fused_sdf_all(s, params, x)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-4)
+
+    # training-style gradient THROUGH the jacobian (eikonal-like loss)
+    def eik(fn):
+        def L(p):
+            v, f, g = fn(p)
+            return (jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+                    + jnp.mean(v ** 2) + jnp.mean(f ** 2))
+        return jax.grad(L)(params)
+
+    ga = eik(lambda p: sdf_value_feature_grad(s.apply, p, x))
+    gb = eik(lambda p: fused_sdf_all(s, p, x))
+    for a, b in zip(jax.tree_util.tree_leaves(gb),
+                    jax.tree_util.tree_leaves(ga)):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-4)
