@@ -88,7 +88,24 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    jitted = jax.jit(train_step, donate_argnums=(0, 1))
+    # Scan-chunked benchmark loop — identical in structure to the trainer's
+    # train_chunk (one device dispatch per CHUNK steps, lax.scan inside).
+    # Timing individual host-dispatched steps over a tunneled device measures
+    # RPC latency, not compute; real training amortizes dispatch the same way.
+    CHUNK = 50
+
+    def train_chunk(params, opt_state, batch, rng, step0):
+        def body(carry, i):
+            p, s = carry
+            r = jax.random.fold_in(rng, i)
+            p, s, loss = train_step(p, s, batch, r, step0 + i)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(CHUNK))
+        return params, opt_state, losses[-1]
+
+    jitted = jax.jit(train_chunk, donate_argnums=(0, 1))
     step = jnp.asarray(25000, jnp.int32)  # occ loss active: worst case
     rng = jax.random.PRNGKey(1)
 
@@ -96,20 +113,19 @@ def main():
     # block_until_ready — on tunneled backends block_until_ready can return
     # before execution finishes, which silently reports dispatch throughput
     # instead of compute throughput.
-    for i in range(3):
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = jitted(params, opt_state, batch, sub, step)
+    rng, sub = jax.random.split(rng)
+    params, opt_state, loss = jitted(params, opt_state, batch, sub, step)
     float(loss)
 
-    n_iters = 20
+    n_chunks = 4
     t0 = time.perf_counter()
-    for i in range(n_iters):
+    for i in range(n_chunks):
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = jitted(params, opt_state, batch, sub, step)
     float(loss)
     dt = time.perf_counter() - t0
 
-    rays_per_sec = n_iters * rn / dt
+    rays_per_sec = n_chunks * CHUNK * rn / dt
     print(json.dumps({
         "metric": "stage1_train_rays_per_sec",
         "value": round(rays_per_sec, 1),

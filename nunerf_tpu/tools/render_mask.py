@@ -42,7 +42,13 @@ def render_masks(cfg: dict, mesh_path: str, chunk: int = 8192):
             d = jnp.asarray(batch["rays_d"][i0:i0 + chunk])
             hits.append(np.asarray(scene.intersect(o, d).hit))
         mask = np.concatenate(hits).reshape(h, w).astype(np.uint8) * 255
-        cv2.imwrite(os.path.join(out_dir, f"r_{img_id}.jpg"), mask)
+        # mirror the image's relative path so database.get_mask finds the
+        # eroded result at mask_erosion/<name>.jpg (reference writes
+        # mask/<image_name minus ext>.jpg, render_mask_synthetic.py:76)
+        rel = os.path.splitext(db.get_image_name(img_id))[0] + ".jpg"
+        out_fp = os.path.normpath(os.path.join(out_dir, rel))
+        os.makedirs(os.path.dirname(out_fp), exist_ok=True)
+        cv2.imwrite(out_fp, mask)
     print(f"wrote {len(img_ids)} masks to {out_dir}")
     return out_dir
 
@@ -57,13 +63,18 @@ def erode_masks(cfg: dict, erosion: int = 15):
     os.makedirs(out_dir, exist_ok=True)
     kernel = np.ones((erosion, erosion), np.uint8)
     n = 0
-    for fname in sorted(os.listdir(mask_dir)):
-        m = cv2.imread(os.path.join(mask_dir, fname), cv2.IMREAD_GRAYSCALE)
-        if m is None:
-            continue
-        eroded = cv2.erode(m, kernel)
-        out = np.clip(eroded.astype(np.int32) + (255 - m), 0, 255).astype(np.uint8)
-        cv2.imwrite(os.path.join(out_dir, fname), out)
-        n += 1
+    for dirpath, _, fnames in os.walk(mask_dir):
+        for fname in sorted(fnames):
+            fp = os.path.join(dirpath, fname)
+            m = cv2.imread(fp, cv2.IMREAD_GRAYSCALE)
+            if m is None:
+                continue
+            eroded = cv2.erode(m, kernel)
+            out = np.clip(eroded.astype(np.int32) + (255 - m), 0,
+                          255).astype(np.uint8)
+            out_fp = os.path.join(out_dir, os.path.relpath(fp, mask_dir))
+            os.makedirs(os.path.dirname(out_fp), exist_ok=True)
+            cv2.imwrite(out_fp, out)
+            n += 1
     print(f"wrote {n} eroded masks to {out_dir}")
     return out_dir
