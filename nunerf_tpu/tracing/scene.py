@@ -13,6 +13,7 @@ the host side only runs at construction.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple, Union
 
 import jax
@@ -118,40 +119,55 @@ class Scene:
 
     # ------------------------------------------------------------------
     def unsigned_distance(self, points: np.ndarray, chunk: int = 4096):
-        """Exact point-to-mesh distance (host numpy, chunked) — used by the
-        stage-2 mesh postprocess (postprocess_stage2_mesh.py:9-26)."""
+        """Point-to-mesh distance — used by the stage-2 mesh postprocess
+        (postprocess_stage2_mesh.py:9-26).  Jitted tiled sweep (the former
+        unfused-numpy version streamed ~GB of temporaries per chunk and took
+        minutes on host)."""
         v0 = self.verts_np[self.tris_np[:, 0]]
         v1 = self.verts_np[self.tris_np[:, 1]]
         v2 = self.verts_np[self.tris_np[:, 2]]
         out = np.empty(len(points), np.float32)
         for i0 in range(0, len(points), chunk):
-            p = points[i0:i0 + chunk]
-            out[i0:i0 + chunk] = _point_triangle_dist(p, v0, v1, v2)
+            p = jnp.asarray(points[i0:i0 + chunk], jnp.float32)
+            out[i0:i0 + chunk] = np.asarray(
+                _point_triangle_dist(p, jnp.asarray(v0), jnp.asarray(v1),
+                                     jnp.asarray(v2)))
         return out
 
 
-def _point_triangle_dist(p, v0, v1, v2):
-    """min over triangles of exact point-triangle distance.
-    p: [P,3]; v*: [T,3] -> [P]."""
-    e0 = v1 - v0  # [T,3]
-    e1 = v2 - v0
-    a = np.sum(e0 * e0, -1)
-    b = np.sum(e0 * e1, -1)
-    c = np.sum(e1 * e1, -1)
-    det = np.maximum(a * c - b * b, 1e-20)
+@partial(jax.jit, static_argnames=("tile",))
+def _point_triangle_dist(p, v0, v1, v2, tile: int = 1024):
+    """min over triangles of point-triangle distance (clamped barycentric
+    projection).  p: [P,3]; v*: [T,3] -> [P]."""
+    nt = v0.shape[0]
+    pad = (-nt) % tile
+    if pad:
+        big = jnp.full((pad, 3), 1e6, v0.dtype)
+        v0 = jnp.concatenate([v0, big], 0)
+        v1 = jnp.concatenate([v1, big], 0)
+        v2 = jnp.concatenate([v2, big], 0)
 
-    diff = p[:, None, :] - v0[None, :, :]  # [P,T,3]
-    d = np.sum(diff * e0[None], -1)  # [P,T]
-    e = np.sum(diff * e1[None], -1)
-    s = (c * d - b * e) / det
-    t = (a * e - b * d) / det
-    # clamp to triangle (approximate but exact enough: clamp barycentrics,
-    # then re-project onto edges where needed)
-    s = np.clip(s, 0, 1)
-    t = np.clip(t, 0, 1)
-    over = s + t > 1
-    scale = np.where(over, 1.0 / np.maximum(s + t, 1e-12), 1.0)
-    s, t = s * scale, t * scale
-    closest = v0[None] + s[..., None] * e0[None] + t[..., None] * e1[None]
-    dist = np.linalg.norm(p[:, None, :] - closest, axis=-1)
-    return dist.min(axis=1).astype(np.float32)
+    def body(best, tri):
+        t0, t1, t2 = tri
+        e0 = t1 - t0  # [tile,3]
+        e1 = t2 - t0
+        a = jnp.sum(e0 * e0, -1)
+        b = jnp.sum(e0 * e1, -1)
+        c = jnp.sum(e1 * e1, -1)
+        det = jnp.maximum(a * c - b * b, 1e-20)
+        diff = p[:, None, :] - t0[None, :, :]  # [P,tile,3]
+        d = jnp.sum(diff * e0[None], -1)
+        e = jnp.sum(diff * e1[None], -1)
+        s = jnp.clip((c * d - b * e) / det, 0.0, 1.0)
+        t = jnp.clip((a * e - b * d) / det, 0.0, 1.0)
+        scale = jnp.where(s + t > 1, 1.0 / jnp.maximum(s + t, 1e-12), 1.0)
+        s, t = s * scale, t * scale
+        closest = t0[None] + s[..., None] * e0[None] + t[..., None] * e1[None]
+        dist2 = jnp.sum((p[:, None, :] - closest) ** 2, -1)
+        return jnp.minimum(best, jnp.min(dist2, axis=1)), None
+
+    tiles = (v0.reshape(-1, tile, 3), v1.reshape(-1, tile, 3),
+             v2.reshape(-1, tile, 3))
+    init = jnp.full((p.shape[0],), jnp.inf, p.dtype)
+    best, _ = jax.lax.scan(body, init, tiles)
+    return jnp.sqrt(jnp.maximum(best, 0.0))
