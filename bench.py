@@ -43,6 +43,10 @@ BENCH_CFG = {
     "occ_loss_max_pn": 2048,
     "apply_occ_loss": True,
     "anneal_end": 50000,
+    # measured on the current tunneled TPU attachment: bf16 shading/background
+    # nets gain ~15% (9.3k vs 8.1k rays/s); on a directly-attached v5e the
+    # cast overhead previously lost ~14% — re-measure per deployment.
+    "mixed_precision": True,
 }
 
 

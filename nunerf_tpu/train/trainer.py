@@ -122,17 +122,24 @@ class Trainer:
         self.train_ids, self.test_ids = get_database_split(self.database)
         train_info = build_imgs_info(self.database, self.train_ids,
                                      with_mask=True)
-        if cfg["is_nerf"]:
-            batch, h, w = construct_nerf_ray_batch(train_info)
+        h, w = train_info["imgs"].shape[1:3]
+        # compact device store (uint8 pixels + per-image pose/K tables,
+        # ~25x smaller than precomputed per-ray float arrays); per-step ray
+        # batches are synthesized inside the jitted step (no host traffic)
+        if cfg.get("device_ray_synthesis", True):
+            from nunerf_tpu.data.device_rays import build_compact_store
+            store = build_compact_store(train_info, cfg["is_nerf"],
+                                        cfg.get("fixed_camera", False))
+            self._sample_rays_mode = "compact"
         else:
-            batch, h, w = construct_ray_batch(train_info,
-                                              cfg.get("fixed_camera", False))
-        extra = self.renderer.prepare_train_batch(batch) if hasattr(
-            self.renderer, "prepare_train_batch") else batch
-        # the whole ray store lives on device, replicated; per-step batches
-        # are gathered on device inside the jitted step (no host traffic)
+            if cfg["is_nerf"]:
+                store, h, w = construct_nerf_ray_batch(train_info)
+            else:
+                store, h, w = construct_ray_batch(
+                    train_info, cfg.get("fixed_camera", False))
+            self._sample_rays_mode = "precomputed"
         self.device_store = replicate(
-            {k: np.asarray(v) for k, v in extra.items()}, self.mesh)
+            {k: np.asarray(v) for k, v in store.items()}, self.mesh)
         self.train_hw = (h, w)
         self.val_info = build_imgs_info(self.database, self.test_ids,
                                         with_mask=True)
@@ -167,15 +174,22 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         batch_sharding = NamedSharding(self.mesh, P("data"))
 
+        compact = getattr(self, "_sample_rays_mode", "compact") == "compact"
+
         def one_step(params, opt_state, store, rng, step):
             # batch selection on device: zero per-step host->device traffic
             # (crucial for remote/tunneled devices; also removes the input
             # pipeline from the step's critical path on real pods)
             r_sel, r_render = jax.random.split(rng)
-            n = store["rays_o"].shape[0]
-            idx = jax.random.randint(r_sel, (rn,), 0, n)
-            batch = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0),
-                                           store)
+            if compact:
+                from nunerf_tpu.data.device_rays import num_rays, sample_rays
+                idx = jax.random.randint(r_sel, (rn,), 0, num_rays(store))
+                batch = sample_rays(store, idx)
+            else:
+                n = store["rays_o"].shape[0]
+                idx = jax.random.randint(r_sel, (rn,), 0, n)
+                batch = jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, idx, axis=0), store)
             batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, terms), grads = grad_fn(params, batch, r_render, step)
