@@ -45,6 +45,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+# The chain kernels keep whole activation stashes (h/d/q lists) resident in
+# VMEM per tile; the default scoped-vmem limit (16 MiB) rejects them even
+# though v5e has 128 MiB of VMEM.  Raise the per-kernel cap instead of the
+# global XLA flag.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _interpret() -> bool:
     """Interpret-mode on non-TPU backends (CPU parity tests)."""
@@ -176,10 +186,11 @@ def _make_bwd_kernel(spec, n_rows):
 
     def kernel(x_ref, g_ref, *refs):
         w_refs = refs[:nw]
-        b_refs = refs[nw:nw + n_l]
-        dx_ref = refs[nw + n_l]
-        dw_refs = refs[nw + n_l + 1:nw + n_l + 1 + nw]
-        db_refs = refs[nw + n_l + 1 + nw:]
+        wt_refs = refs[nw:2 * nw]
+        b_refs = refs[2 * nw:2 * nw + n_l]
+        dx_ref = refs[2 * nw + n_l]
+        dw_refs = refs[2 * nw + n_l + 1:2 * nw + n_l + 1 + nw]
+        db_refs = refs[2 * nw + n_l + 1 + nw:]
 
         i = pl.program_id(0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (x_ref.shape[0], 1), 0)
@@ -189,6 +200,7 @@ def _make_bwd_kernel(spec, n_rows):
 
         dtype = jnp.dtype(spec.compute_dtype)
         weights = [w[:] for w in w_refs]
+        weights_t = [w[:] for w in wt_refs]
         biases = [b[:] for b in b_refs]
         h_list, _ = _forward_tile(spec, x, weights, biases, dtype)
         x0 = x.astype(dtype)
@@ -206,26 +218,25 @@ def _make_bwd_kernel(spec, n_rows):
             gz_c = gz.astype(dtype)
             h_prev = (h_list[l - 1] if l > 0 else x0)
 
+            # gz @ W^T uses the precomputed transposes: a contracting-dim-1
+            # dot_general lowers to a per-tile transpose on Mosaic and is
+            # ~10x slower than a plain dot (measured v5e); A^T@B (dW) is fine.
             if spec.has_skip[l]:
                 wi -= 1
-                w_x = weights[wi]
                 dw_x = jax.lax.dot_general(
                     x0, gz_c, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 _accum(dw_refs[wi], dw_x, i)
-                dx = dx + jax.lax.dot_general(
-                    gz_c, w_x, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                dx = dx + jnp.dot(gz_c, weights_t[wi],
+                                  preferred_element_type=jnp.float32)
             wi -= 1
-            w_h = weights[wi]
             dw_h = jax.lax.dot_general(
                 h_prev, gz_c, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             _accum(dw_refs[wi], dw_h, i)
 
-            gh = jax.lax.dot_general(
-                gz_c, w_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            gh = jnp.dot(gz_c, weights_t[wi],
+                         preferred_element_type=jnp.float32)
             if l > 0:
                 g = gh
             else:
@@ -290,6 +301,7 @@ def _fwd_call(spec, x, flat):
             flops=flops, bytes_accessed=4 * n * (e + out_dim),
             transcendentals=n * 256 if "softplus100" in spec.acts else 0),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(x, *flat)
 
 
@@ -299,6 +311,8 @@ def _bwd_call(spec, x, g, flat):
     grid = (pl.cdiv(n, t),)
     counts, nw = _weights_per_layer(spec)
     w_shapes = _flat_weight_shapes(spec)
+    ws, bs = flat[:nw], flat[nw:]
+    wts = tuple(w.T for w in ws)  # XLA transposes once; tiny vs the kernel
 
     in_specs = [
         pl.BlockSpec((t, e), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -307,6 +321,9 @@ def _bwd_call(spec, x, g, flat):
     ]
     for s in w_shapes:
         in_specs.append(pl.BlockSpec(s, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for s in w_shapes:
+        in_specs.append(pl.BlockSpec((s[1], s[0]), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     for l in range(spec.n_layers):
         in_specs.append(pl.BlockSpec((1, spec.dims[l + 1]), lambda i: (0, 0),
@@ -337,7 +354,8 @@ def _bwd_call(spec, x, g, flat):
             flops=flops, bytes_accessed=4 * n * (2 * e + spec.dims[-1]),
             transcendentals=n * 256 if "softplus100" in spec.acts else 0),
         interpret=_interpret(),
-    )(x, g, *flat)
+        compiler_params=_compiler_params(),
+    )(x, g, *ws, *wts, *bs)
     dx = res[0]
     dws = res[1:1 + nw]
     dbs = res[1 + nw:]
@@ -641,6 +659,7 @@ def _jac_fwd_call(spec, x, flat):
             flops=flops, bytes_accessed=4 * n * (2 * e + spec.dims[-1]),
             transcendentals=n * 512),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(x, *flat)
 
 
@@ -687,6 +706,7 @@ def _jac_bwd_call(spec, x, gy, gj, flat):
             flops=flops, bytes_accessed=4 * n * (3 * e + spec.dims[-1]),
             transcendentals=n * 512),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(x, gy, gj, *flat)
     dx = res[0]
     return dx, tuple(res[1:])
