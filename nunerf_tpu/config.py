@@ -68,6 +68,10 @@ STAGE1_DEFAULTS: Dict[str, Any] = {
     # Measured on v5e: bf16 costs stage-1 ~14% (cast overhead beats the MXU
     # win at 1024-ray batches) but gains stage-2 ~17% -> off here, on there.
     "mixed_precision": False,
+    # bf16 compute inside the SDF trunk matmuls (f32 accumulation + f32
+    # final layer).  Separate gate from mixed_precision because the SDF
+    # zero-crossing drives geometry quality; see fields/sdf.py.
+    "sdf_mixed_precision": False,
 }
 
 SHADER_DEFAULTS: Dict[str, Any] = {

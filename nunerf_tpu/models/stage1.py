@@ -68,10 +68,13 @@ class ShapeRenderer:
         self.cfg = merge_cfg(defaults, cfg)
         shader_cfg = merge_cfg(SHADER_DEFAULTS, self.cfg.get("shader_config") or {})
         self.shader_cfg = shader_cfg
+        sdf_dtype = (jnp.bfloat16
+                     if self.cfg.get("sdf_mixed_precision") else None)
         self.sdf_net = SDFNetwork(
             d_out=self.cfg["sdf_d_out"], n_layers=self.cfg["sdf_n_layers"],
             skip_in=(self.cfg["sdf_n_layers"] // 2,), multires=self.cfg["sdf_freq"],
-            bias=self.cfg["sdf_bias"], geometric_init=self.cfg["geometry_init"])
+            bias=self.cfg["sdf_bias"], geometric_init=self.cfg["geometry_init"],
+            dtype=sdf_dtype)
         self.var_net = SingleVarianceNetwork(
             init_val=self.cfg["inv_s_init"], activation=self.cfg["std_act"])
         dtype = jnp.bfloat16 if self.cfg.get("mixed_precision", True) else None
@@ -80,6 +83,11 @@ class ShapeRenderer:
             from nunerf_tpu.ops.fused_mlp import use_fused_mlp
             fused = use_fused_mlp()
         self.fused = bool(fused)
+        fused_sdf = self.cfg.get("fused_sdf")
+        if fused_sdf is None:
+            from nunerf_tpu.ops.fused_mlp import use_fused_sdf
+            fused_sdf = use_fused_sdf()
+        self.fused_sdf = bool(fused_sdf)
         self.outer_nerf = NeRFNetwork(rgb_bias_init=float(np.log(0.5)),
                                       dtype=dtype, fused=self.fused)
         self.color_net = AppShadingNetwork(
@@ -119,24 +127,19 @@ class ShapeRenderer:
         return self.sdf_net.apply(params["sdf"], x)[..., :1]
 
     def sdf_all(self, params, x):
-        """(sdf [N], feats [N,256], grad [N,3]) with per-sample jax.grad.
+        """(sdf [N], feats [N,256], grad [N,3]).
 
-        Reverse-mode under vmap measured faster than forward-mode tangents
-        (jax.linearize with 3 basis dirs) on TPU for this 8x256 MLP — the
-        training backward is reverse-over-reverse, like the reference's
-        double backward (field.py:158-170).  On TPU the fused value+jacobian
-        kernel (hand-derived VJP, all sweeps in VMEM) replaces both.
+        The reference computes normals with double backward
+        (field.py:158-170); here vmap(jax.grad) reverse-over-reverse — the
+        fastest of three measured formulations (see
+        ``sdf_value_feature_grad``).  ``fused_sdf`` opts into the Pallas
+        value+jacobian kernel instead.
         """
-        if self.fused:
+        if self.fused_sdf:
             from nunerf_tpu.fields.sdf import fused_sdf_all
             return fused_sdf_all(self.sdf_net, params["sdf"], x)
-        out = self.sdf_net.apply(params["sdf"], x)
-
-        def sdf_single(p):
-            return self.sdf_net.apply(params["sdf"], p[None])[0, 0]
-
-        grads = jax.vmap(jax.grad(sdf_single))(x)
-        return out[..., 0], out[..., 1:], grads
+        from nunerf_tpu.fields.sdf import sdf_value_feature_grad
+        return sdf_value_feature_grad(self.sdf_net.apply, params["sdf"], x)
 
     def inv_s(self, params, x):
         return self.var_net.apply(params["var"], x)

@@ -93,7 +93,9 @@ class Stage2Renderer:
         self.sdf_inner = SDFNetwork(
             d_out=self.cfg["sdf_d_out"], n_layers=self.cfg["sdf_n_layers"],
             skip_in=(self.cfg["sdf_n_layers"] // 2,), multires=self.cfg["sdf_freq"],
-            bias=self.cfg["sdf_bias"], geometric_init=self.cfg["geometry_init"])
+            bias=self.cfg["sdf_bias"], geometric_init=self.cfg["geometry_init"],
+            dtype=(jnp.bfloat16
+                   if self.cfg.get("sdf_mixed_precision") else None))
         self.var_inner = SingleVarianceNetwork(
             init_val=self.cfg["inv_s_init"], activation=self.cfg["std_act"])
         dtype = jnp.bfloat16 if self.cfg.get("mixed_precision", True) else None
@@ -103,6 +105,11 @@ class Stage2Renderer:
         self.ior_net = IoRNetwork()
         self.ior_int_net = IoRNetwork()
         self.thickness_net = ThicknessNetwork()
+        fused_sdf = self.cfg.get("fused_sdf")
+        if fused_sdf is None:
+            from nunerf_tpu.ops.fused_mlp import use_fused_sdf
+            fused_sdf = use_fused_sdf()
+        self.fused_sdf = bool(fused_sdf)
 
     frozen_keys = ("frozen",)
 
@@ -293,13 +300,14 @@ class Stage2Renderer:
     def _inner_sdf_alpha(self, params, points, dists, dirs, cos_anneal, step):
         """Inner NeuS alpha (renderer_zerothick.py:1490-1528)."""
         train = params["train"]
-        out = self.sdf_inner.apply(train["sdf_inner"], points)
-        sdf, feats = out[..., 0], out[..., 1:]
-
-        def sdf1(p):
-            return self.sdf_inner.apply(train["sdf_inner"], p[None])[0, 0]
-
-        grads = jax.vmap(jax.grad(sdf1))(points)
+        if self.fused_sdf:
+            from nunerf_tpu.fields.sdf import fused_sdf_all
+            sdf, feats, grads = fused_sdf_all(
+                self.sdf_inner, train["sdf_inner"], points)
+        else:
+            from nunerf_tpu.fields.sdf import sdf_value_feature_grad
+            sdf, feats, grads = sdf_value_feature_grad(
+                self.sdf_inner.apply, train["sdf_inner"], points)
         inv_s = jnp.clip(self.var_inner.apply(train["var_inner"], points),
                          1e-6, 1e6)[..., 0]
         freeze = self.cfg.get("freeze_inv_s_step")

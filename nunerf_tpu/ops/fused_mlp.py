@@ -414,11 +414,22 @@ def chain_mlp_reference(spec: ChainSpec, x, *flat):
 
 
 def use_fused_mlp() -> bool:
-    """Opt-in (env NUNERF_FUSED_MLP=1 or cfg ``fused_mlp``).  Currently the
-    measured v5e step time is WORSE fused (258 ms vs 130 ms — the bwd
-    dW-accumulation pattern needs work), so the default stays off until the
-    kernel beats XLA."""
+    """Opt-in (env NUNERF_FUSED_MLP=1 or cfg ``fused_mlp``).  The measured
+    step time is WORSE with every MLP fused (the bwd dW accumulation
+    serializes the grid), so the default stays off until the kernel beats
+    XLA.  The one kernel that decisively wins — the SDF value+jacobian
+    chain — has its own gate, ``use_fused_sdf``."""
     v = os.environ.get("NUNERF_FUSED_MLP")
+    return v is not None and v not in ("0", "false", "")
+
+
+def use_fused_sdf() -> bool:
+    """Gate for the fused SDF value+jacobian kernel
+    (``chain_mlp_with_grad0``) — opt-in via env NUNERF_FUSED_SDF=1 or cfg
+    ``fused_sdf``.  Honest measurement (per-iteration-varying inputs in a
+    scan, 164k points): kernel 73.4 ms vs XLA vmap(grad) 45.5 ms fwd+bwd,
+    so the default stays off until the kernel beats XLA."""
+    v = os.environ.get("NUNERF_FUSED_SDF")
     return v is not None and v not in ("0", "false", "")
 
 
