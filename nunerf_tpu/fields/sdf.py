@@ -210,17 +210,19 @@ def fused_sdf_all(module: SDFNetwork, params, x):
 def sdf_value_feature_grad(apply_fn, params, points):
     """Evaluate (sdf, feature, grad_sdf) at ``points`` [N,3].
 
-    Per-example reverse-mode gradients under vmap; training then
-    differentiates reverse-over-reverse, like the reference's double
-    backward (field.py:158-170).  Measured fwd+bwd at bench scale
-    (164k points, 8x256 chain, per-iteration-varying inputs inside a
-    scan): vmap(grad) 45.5 ms < fused Pallas value+jacobian kernel
-    73.4 ms < jvp-tangent jacobian 96.3 ms — so this formulation IS the
-    fast one; beware loop-invariant hoisting when re-benchmarking.
+    Batched reverse-mode via ``jax.vjp`` with a cotangent selecting the sdf
+    channel: each row of the output depends only on its own input point, so
+    the full-batch pullback IS the per-example gradient — and, unlike
+    vmap(jax.grad), it shares the forward pass with the value/feature
+    outputs instead of recomputing it.  Training then differentiates
+    reverse-over-reverse, like the reference's double backward
+    (field.py:158-170).  Measured fwd+bwd at bench scale (164k points,
+    8x256 chain, per-iteration-varying inputs inside a scan): batched vjp
+    34.5 ms < vmap(grad) 43.8 ms < fused Pallas value+jacobian kernel
+    73.4 ms < jvp-tangent jacobian 96.3 ms; beware loop-invariant hoisting
+    when re-benchmarking.
     """
-    def sdf_only(p):
-        return apply_fn(params, p[None])[0, 0]
-
-    grads = jax.vmap(jax.grad(sdf_only))(points)
-    out = apply_fn(params, points)
+    out, pull = jax.vjp(lambda p: apply_fn(params, p), points)
+    ct = jnp.zeros_like(out).at[..., 0].set(1.0)
+    grads, = pull(ct)
     return out[..., 0], out[..., 1:], grads
