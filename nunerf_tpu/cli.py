@@ -196,6 +196,15 @@ def cmd_eval_images(args):
     print(f"test psnr {psnr:.3f}")
 
 
+def cmd_synth_scene(args):
+    """Generate the synthetic nested-glass validation scene (no external
+    data needed; the reference's scenes live on an external drive link)."""
+    from nunerf_tpu.tools.synth_nested import make_nested_scene
+    root = make_nested_scene(args.output, n_train=args.n_train,
+                             n_test=args.n_test, h=args.size, w=args.size)
+    print(f"wrote nested-glass scene to {root}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="nunerf_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -243,6 +252,13 @@ def main(argv=None):
     sp.add_argument("--cfg", required=True)
     sp.add_argument("--ckpt", default=None)
     sp.set_defaults(fn=cmd_eval_images)
+
+    sp = sub.add_parser("synth-scene")
+    sp.add_argument("--output", default="./datasets/nested")
+    sp.add_argument("--n-train", type=int, default=48)
+    sp.add_argument("--n-test", type=int, default=8)
+    sp.add_argument("--size", type=int, default=128)
+    sp.set_defaults(fn=cmd_synth_scene)
 
     sp = sub.add_parser("relight")
     sp.add_argument("--cfg", required=True)

@@ -1,0 +1,269 @@
+"""Synthetic nested-transparent-object scene generator.
+
+The reference repo ships no data (scenes live on an external drive link,
+``README.md:16-24``), so end-to-end validation needs a scene whose ground
+truth we control.  This renders a *solid glass sphere with an opaque object
+inside* — the exact problem class NU-NeRF targets — with an analytic path
+tracer (numpy, no external renderer):
+
+* outer surface: glass sphere, radius ``r_outer``, IoR ``ior`` (Snell +
+  Fresnel at every interface, total internal reflection handled);
+* inner object: lambertian union of two spheres (a "snowman"), lit by the
+  environment plus a fixed key light;
+* environment: procedural sky gradient + gaussian light blobs, evaluated by
+  direction — so reflections carry structure for the stage-1 shader to latch
+  onto.
+
+Output is a blender-format dataset (``transforms_{train,test}.json`` + RGBA
+PNGs, alpha = outer-surface hit mask) consumed by ``nerf/<scene>`` databases
+(reference ``dataset/database.py:542-651``), plus ``gt_outer.npy`` /
+``gt_inner.npy`` point samples of the two ground-truth surfaces for Chamfer
+evaluation of extracted meshes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+# ----------------------------------------------------------------------------
+# scene definition (fixed ground truth)
+
+R_OUTER = 0.5
+IOR = 1.5
+INNER_SPHERES = (
+    # (center, radius, base color)
+    (np.array([0.02, 0.0, -0.10]), 0.24, np.array([0.75, 0.25, 0.15])),
+    (np.array([0.02, 0.0, 0.16]), 0.16, np.array([0.20, 0.45, 0.80])),
+)
+
+
+def env_color(d: np.ndarray) -> np.ndarray:
+    """Procedural environment radiance by direction [..., 3]."""
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    t = 0.5 * (d[..., 2:3] + 1.0)
+    sky = (1.0 - t) * np.array([0.35, 0.30, 0.28]) + t * np.array([0.55, 0.70, 0.95])
+    blobs = [
+        (np.array([0.5, 0.5, 0.7]), 60.0, np.array([1.6, 1.5, 1.3])),
+        (np.array([-0.8, 0.2, 0.4]), 40.0, np.array([1.2, 0.5, 0.3])),
+        (np.array([0.1, -0.9, 0.3]), 50.0, np.array([0.3, 1.0, 0.5])),
+    ]
+    out = sky.copy()
+    for center, sharp, col in blobs:
+        center = center / np.linalg.norm(center)
+        w = np.exp(sharp * (np.sum(d * center, -1, keepdims=True) - 1.0))
+        out = out + w * col
+    return out
+
+
+def _sphere_hit(o, d, center, radius):
+    """Nearest positive intersection t (inf on miss)."""
+    oc = o - center
+    b = np.sum(oc * d, -1)
+    c = np.sum(oc * oc, -1) - radius * radius
+    disc = b * b - c
+    ok = disc > 0
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t0, t1 = -b - sq, -b + sq
+    t = np.where(t0 > 1e-5, t0, t1)
+    return np.where(ok & (t > 1e-5), t, np.inf)
+
+
+def _refract(d, n, eta):
+    """Snell refraction of d through normal n (n opposes d); eta = n1/n2.
+    Returns (dir, tir_mask)."""
+    cos_i = -np.sum(d * n, -1, keepdims=True)
+    sin2_t = eta**2 * np.maximum(0.0, 1.0 - cos_i**2)
+    tir = sin2_t[..., 0] > 1.0
+    cos_t = np.sqrt(np.maximum(0.0, 1.0 - sin2_t))
+    refr = eta * d + (eta * cos_i - cos_t) * n
+    refl = d + 2.0 * cos_i * n
+    out = np.where(tir[..., None], refl, refr)
+    return out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-9), tir
+
+
+def _fresnel(cos_i, n1, n2):
+    """Exact dielectric Fresnel reflectance (unpolarized)."""
+    cos_i = np.clip(cos_i, 0.0, 1.0)
+    sin2_t = (n1 / n2) ** 2 * (1.0 - cos_i**2)
+    tir = sin2_t > 1.0
+    cos_t = np.sqrt(np.maximum(0.0, 1.0 - sin2_t))
+    rs = ((n1 * cos_i - n2 * cos_t) / np.maximum(n1 * cos_i + n2 * cos_t, 1e-9)) ** 2
+    rp = ((n1 * cos_t - n2 * cos_i) / np.maximum(n1 * cos_t + n2 * cos_i, 1e-9)) ** 2
+    return np.where(tir, 1.0, 0.5 * (rs + rp))
+
+
+def _inner_hit(o, d):
+    """Nearest hit among the inner spheres: (t, normal, albedo)."""
+    best_t = np.full(o.shape[:-1], np.inf)
+    normal = np.zeros_like(o)
+    albedo = np.zeros_like(o)
+    for center, radius, col in INNER_SPHERES:
+        t = _sphere_hit(o, d, center, radius)
+        closer = t < best_t
+        p = o + np.where(np.isfinite(t), t, 0.0)[..., None] * d
+        n = (p - center) / radius
+        best_t = np.where(closer, t, best_t)
+        normal = np.where(closer[..., None], n, normal)
+        albedo = np.where(closer[..., None], col, albedo)
+    return best_t, normal, albedo
+
+
+def _shade_inner(p, n, albedo):
+    """Lambertian with a fixed key light + ambient from the env gradient."""
+    key = np.array([0.5, 0.5, 0.7])
+    key /= np.linalg.norm(key)
+    lam = np.clip(np.sum(n * key, -1, keepdims=True), 0.0, 1.0)
+    amb = 0.25 * env_color(n)
+    return np.clip(albedo * (0.9 * lam + amb), 0.0, 1.0)
+
+
+def trace_rays(o: np.ndarray, d: np.ndarray):
+    """Path-trace rays through the glass ball.  Returns (rgb, outer_hit_mask).
+
+    Light model (per ray):
+      miss outer sphere -> env
+      hit: Fresnel split at entry; reflected branch -> env; refracted branch
+      travels in glass, hits the inner object (lambertian, dimmed by the
+      glass) or reaches the far interface where it Fresnel-splits again:
+      transmitted -> env along exit dir; internally-reflected residual gets
+      one more inner-object chance, then env.  TIR at the exit interface is
+      handled exactly (reflectance 1).
+    """
+    t_out = _sphere_hit(o, d, np.zeros(3), R_OUTER)
+    hit = np.isfinite(t_out)
+    t_safe = np.where(hit, t_out, 0.0)
+
+    p1 = o + t_safe[..., None] * d
+    n1 = p1 / R_OUTER
+    cos_i = np.clip(-np.sum(d * n1, -1, keepdims=True), 0.0, 1.0)
+    r1 = _fresnel(cos_i[..., 0], 1.0, IOR)[..., None]
+    refl_dir = d + 2.0 * cos_i * n1
+    refl_col = env_color(refl_dir)
+
+    # refracted branch: entry Snell (never TIR entering denser medium)
+    d2, _ = _refract(d, n1, 1.0 / IOR)
+    trans_col = np.zeros_like(refl_col)
+    weight = np.ones(o.shape[:-1] + (1,))
+    pos, dirs = p1 + 1e-5 * d2, d2
+    for _bounce in range(3):
+        ti, ni, alb = _inner_hit(pos, dirs)
+        tg = _sphere_hit(pos, dirs, np.zeros(3), R_OUTER)
+        hits_inner = ti < tg
+        # inner-object shading (absorb, path ends)
+        pi = pos + np.where(np.isfinite(ti), ti, 0.0)[..., None] * dirs
+        inner_col = _shade_inner(pi, ni, alb)
+        trans_col = trans_col + np.where(hits_inner[..., None], weight * inner_col, 0.0)
+        weight = np.where(hits_inner[..., None], 0.0, weight)
+        # far interface: Fresnel split glass->air
+        pg = pos + np.where(np.isfinite(tg), tg, 0.0)[..., None] * dirs
+        ng = pg / R_OUTER  # outward normal; ray leaves, so normal opposing = -ng... handled via cos
+        cos_g = np.clip(np.sum(dirs * ng, -1, keepdims=True), 0.0, 1.0)
+        rg = _fresnel(cos_g[..., 0], IOR, 1.0)[..., None]
+        d_exit, tir = _refract(dirs, -ng, IOR)
+        exit_col = env_color(d_exit)
+        t_w = np.where(tir[..., None], 0.0, (1.0 - rg))
+        trans_col = trans_col + weight * t_w * exit_col
+        # internal reflection continues inside the glass
+        d_refl = dirs - 2.0 * cos_g * ng
+        weight = weight * np.where(tir[..., None], 1.0, rg)
+        pos = pg + 1e-5 * d_refl
+        dirs = d_refl
+    # whatever weight survives 3 internal bounces: approximate with env
+    trans_col = trans_col + weight * env_color(dirs)
+
+    color = r1 * refl_col + (1.0 - r1) * trans_col
+    color = np.where(hit[..., None], color, env_color(d))
+    return np.clip(color, 0.0, 1.0), hit
+
+
+def _look_at(cam_pos: np.ndarray) -> np.ndarray:
+    forward = -cam_pos / np.linalg.norm(cam_pos)
+    z_axis = -forward
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(up, z_axis)) > 0.99:
+        up = np.array([0.0, 1.0, 0.0])
+    x_axis = np.cross(up, z_axis)
+    x_axis /= np.linalg.norm(x_axis)
+    y_axis = np.cross(z_axis, x_axis)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x_axis, y_axis, z_axis, cam_pos
+    return c2w
+
+
+def render_view(c2w: np.ndarray, h: int, w: int, focal: float):
+    i, j = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal,
+                     -np.ones_like(i)], -1)
+    R, o = c2w[:3, :3], c2w[:3, 3]
+    d = dirs @ R.T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(o, d.shape)
+    rgb, hit = trace_rays(o.reshape(-1, 3), d.reshape(-1, 3))
+    rgba = np.concatenate([rgb.reshape(h, w, 3),
+                           hit.reshape(h, w, 1).astype(np.float64)], -1)
+    return (rgba * 255).astype(np.uint8)
+
+
+def gt_surface_points(n: int = 20000, seed: int = 0):
+    """(outer_pts [n,3], inner_pts [n,3]) uniform samples of the GT surfaces."""
+    rs = np.random.RandomState(seed)
+
+    def sphere_pts(center, radius, k):
+        v = rs.randn(k, 3)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        return center + radius * v
+
+    outer = sphere_pts(np.zeros(3), R_OUTER, n)
+    # inner: union of spheres — sample each proportional to area, drop points
+    # inside the other sphere
+    areas = np.array([r * r for _, r, _ in INNER_SPHERES])
+    counts = (n * areas / areas.sum()).astype(int)
+    parts = []
+    for (c, r, _), k in zip(INNER_SPHERES, counts):
+        p = sphere_pts(c, r, k)
+        keep = np.ones(len(p), bool)
+        for (c2, r2, _) in INNER_SPHERES:
+            if np.allclose(c2, c):
+                continue
+            keep &= np.linalg.norm(p - c2, axis=-1) > r2
+        parts.append(p[keep])
+    inner = np.concatenate(parts, 0)
+    return outer.astype(np.float32), inner.astype(np.float32)
+
+
+def make_nested_scene(root: str, n_train: int = 48, n_test: int = 8,
+                      h: int = 128, w: int = 128, cam_dist: float = 2.2,
+                      camera_angle_x: float = 0.65):
+    """Write the blender-format dataset + GT surface samples under ``root``."""
+    import cv2
+
+    os.makedirs(root, exist_ok=True)
+    focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
+    for split, n in (("train", n_train), ("test", n_test)):
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        frames = []
+        rs = np.random.RandomState(0 if split == "train" else 1)
+        for k in range(n):
+            phi = 2 * np.pi * (k + (0.5 if split == "test" else 0.0)) / n
+            elev = 0.15 + 0.55 * rs.rand()
+            pos = cam_dist * np.array([
+                np.cos(phi) * np.cos(elev), np.sin(phi) * np.cos(elev),
+                np.sin(elev)])
+            c2w = _look_at(pos)
+            rgba = render_view(c2w, h, w, focal)
+            fp = f"./{split}/r_{k}"
+            cv2.imwrite(os.path.join(root, f"{split}/r_{k}.png"),
+                        rgba[..., [2, 1, 0, 3]])
+            frames.append({"file_path": fp, "transform_matrix": c2w.tolist()})
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f)
+
+    outer, inner = gt_surface_points()
+    np.save(os.path.join(root, "gt_outer.npy"), outer)
+    np.save(os.path.join(root, "gt_inner.npy"), inner)
+    return root

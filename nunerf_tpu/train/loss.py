@@ -85,7 +85,7 @@ def outer_reg_loss(outputs, batch, step, cfg):
         mse = masked_mean(jnp.mean(diff, axis=-1), mask)
     else:
         mse = jnp.mean(diff)
-    gate = jnp.asarray(step >= 15000, diff.dtype)
+    gate = jnp.asarray(step >= cfg.get("outer_reg_step", 15000), diff.dtype)
     return {"loss_outer_reg": mse * gate
             * cfg.get("outer_reg_loss_weight", 0.5)}
 
