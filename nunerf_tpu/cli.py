@@ -156,6 +156,10 @@ def cmd_eval_geometry(args):
     from nunerf_tpu.tracing.mesh_ops import load_ply
 
     def sample_surface(path, n):
+        if path.endswith(".npy"):
+            pts = np.load(path).astype(np.float32)
+            rs = np.random.RandomState(0)
+            return pts[rs.choice(len(pts), min(n, len(pts)), replace=False)]
         verts, tris = load_ply(path)
         v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
         area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
@@ -194,6 +198,44 @@ def cmd_eval_images(args):
         trainer.params = replicate(params, trainer.mesh)
     psnr = trainer.validate(0, jax.random.PRNGKey(0))
     print(f"test psnr {psnr:.3f}")
+
+
+def cmd_render_orbit(args):
+    """Headless novel-view orbit rendering — the capability of the
+    reference's interactive dearpygui viewer (raytracing/renderer.py:195-443)
+    as a batch tool: render n views on a circular orbit and write PNGs."""
+    import cv2
+    import jax
+    from nunerf_tpu.config import load_cfg
+    from nunerf_tpu.models.stage1 import ShapeRenderer
+    from nunerf_tpu.train.trainer import load_checkpoint
+    from nunerf_tpu.tools.synth_nested import _look_at
+
+    cfg = load_cfg(args.cfg)
+    renderer = ShapeRenderer(cfg)
+    name = cfg["name"]
+    ckpt = args.ckpt or os.path.join("data/model", name, "model_best.ckpt")
+    step, params, _, _ = load_checkpoint(ckpt)
+    params = jax.device_put(params)
+
+    h = w = args.size
+    focal = 0.5 * w / np.tan(0.5 * args.fov)
+    K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32)
+    os.makedirs(args.output, exist_ok=True)
+    for k in range(args.n_views):
+        phi = 2 * np.pi * k / args.n_views
+        pos = args.radius * np.array([
+            np.cos(phi) * np.cos(args.elevation),
+            np.sin(phi) * np.cos(args.elevation), np.sin(args.elevation)])
+        c2w = _look_at(pos)  # OpenGL cam->world
+        # nvs expects OpenCV world->cam [3,4]: flip y/z axes, then invert
+        R = (c2w[:3, :3] @ np.diag([1.0, -1.0, -1.0])).T
+        t = -R @ c2w[:3, 3]
+        pose = np.concatenate([R, t[:, None]], -1).astype(np.float32)
+        img = renderer.nvs(params, pose, K, h, w, step=step)
+        cv2.imwrite(os.path.join(args.output, f"orbit_{k:03d}.png"),
+                    (np.clip(img, 0, 1)[..., ::-1] * 255).astype(np.uint8))
+    print(f"wrote {args.n_views} views to {args.output}")
 
 
 def cmd_synth_scene(args):
@@ -252,6 +294,17 @@ def main(argv=None):
     sp.add_argument("--cfg", required=True)
     sp.add_argument("--ckpt", default=None)
     sp.set_defaults(fn=cmd_eval_images)
+
+    sp = sub.add_parser("render-orbit")
+    sp.add_argument("--cfg", required=True)
+    sp.add_argument("--ckpt", default=None)
+    sp.add_argument("--output", default="data/orbit")
+    sp.add_argument("--n-views", type=int, default=12)
+    sp.add_argument("--size", type=int, default=256)
+    sp.add_argument("--radius", type=float, default=2.2)
+    sp.add_argument("--elevation", type=float, default=0.4)
+    sp.add_argument("--fov", type=float, default=0.65)
+    sp.set_defaults(fn=cmd_render_orbit)
 
     sp = sub.add_parser("synth-scene")
     sp.add_argument("--output", default="./datasets/nested")

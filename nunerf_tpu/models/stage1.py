@@ -478,8 +478,19 @@ class ShapeRenderer:
                 "Ks": K[None].astype(np.float32),
                 "poses": pose[None].astype(np.float32)}
         batch, _, _ = construct_ray_batch(info)
+
+        if not hasattr(self, "_nvs_chunk_fn"):
+            def _chunk_render(params, cur, rng, step):
+                return self.render(params, cur["rays_o"], cur["rays_d"],
+                                   cur["near"], cur["far"], cur["human_poses"],
+                                   rng, step, cos_anneal_ratio=1.0,
+                                   perturb_overwrite=0.0, is_train=False,
+                                   with_inter=False)["ray_rgb"]
+            self._nvs_chunk_fn = jax.jit(_chunk_render)
+
         out = []
         rng = jax.random.PRNGKey(0)
+        step = jnp.asarray(step, jnp.int32)
         for i0 in range(0, h * w, chunk):
             cur = {k: jnp.asarray(v[i0:i0 + chunk]) for k, v in batch.items()}
             n = cur["rays_o"].shape[0]
@@ -487,12 +498,8 @@ class ShapeRenderer:
                 cur = {k: jnp.concatenate(
                     [v, jnp.repeat(v[-1:], chunk - n, 0)], 0)
                     for k, v in cur.items()}
-            res = self.render(params, cur["rays_o"], cur["rays_d"],
-                              cur["near"], cur["far"], cur["human_poses"],
-                              rng, jnp.asarray(step, jnp.int32),
-                              cos_anneal_ratio=1.0, perturb_overwrite=0.0,
-                              is_train=False, with_inter=False)
-            out.append(np.asarray(res["ray_rgb"])[:n])
+            res = self._nvs_chunk_fn(params, cur, rng, step)
+            out.append(np.asarray(res)[:n])
         return np.concatenate(out, 0).reshape(h, w, 3)
 
     def test_outputs(self, params, batch, rng, step):

@@ -166,9 +166,15 @@ class Trainer:
         renderer, cfg = self.renderer, self.renderer.cfg
         rn = cfg["train_ray_num"]
 
+        # TPU f32 matmuls default to one bf16 pass (measured: param-grad rel
+        # err ~5e-3 vs the 6-pass f32 emulation; 'high' = 3 passes cuts that
+        # 10x for +14% SDF-path time).  Reference-grade numerics on demand:
+        prec = cfg.get("matmul_precision", "default")
+
         def loss_fn(params, batch, rng, step):
-            outputs = renderer.train_outputs(params, batch, rng, step)
-            terms = compute_losses(outputs, batch, step, cfg)
+            with jax.default_matmul_precision(prec):
+                outputs = renderer.train_outputs(params, batch, rng, step)
+                terms = compute_losses(outputs, batch, step, cfg)
             return terms["loss_total"], terms
 
         from jax.sharding import NamedSharding, PartitionSpec as P
