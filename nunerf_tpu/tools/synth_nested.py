@@ -46,10 +46,15 @@ def env_color(d: np.ndarray) -> np.ndarray:
     d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
     t = 0.5 * (d[..., 2:3] + 1.0)
     sky = (1.0 - t) * np.array([0.35, 0.30, 0.28]) + t * np.array([0.55, 0.70, 0.95])
+    # HDR-bright compact lights: real captures (and the reference's blender
+    # scenes) have emitters bright enough that a 4% Fresnel reflection is
+    # clearly visible on the glass — that reflection is the main signal
+    # anchoring the outer surface in stage 1.
     blobs = [
-        (np.array([0.5, 0.5, 0.7]), 60.0, np.array([1.6, 1.5, 1.3])),
-        (np.array([-0.8, 0.2, 0.4]), 40.0, np.array([1.2, 0.5, 0.3])),
-        (np.array([0.1, -0.9, 0.3]), 50.0, np.array([0.3, 1.0, 0.5])),
+        (np.array([0.5, 0.5, 0.7]), 60.0, np.array([16.0, 15.0, 13.0])),
+        (np.array([-0.8, 0.2, 0.4]), 40.0, np.array([12.0, 5.0, 3.0])),
+        (np.array([0.1, -0.9, 0.3]), 50.0, np.array([3.0, 10.0, 5.0])),
+        (np.array([-0.2, 0.4, -0.85]), 45.0, np.array([8.0, 8.0, 11.0])),
     ]
     out = sky.copy()
     for center, sharp, col in blobs:
@@ -250,7 +255,9 @@ def make_nested_scene(root: str, n_train: int = 48, n_test: int = 8,
         rs = np.random.RandomState(0 if split == "train" else 1)
         for k in range(n):
             phi = 2 * np.pi * (k + (0.5 if split == "test" else 0.0)) / n
-            elev = 0.15 + 0.55 * rs.rand()
+            # full elevation coverage incl. below the equator — a one-sided
+            # orbit leaves the unseen bottom of the object unconstrained
+            elev = -0.45 + 1.3 * rs.rand()
             pos = cam_dist * np.array([
                 np.cos(phi) * np.cos(elev), np.sin(phi) * np.cos(elev),
                 np.sin(elev)])
