@@ -63,12 +63,12 @@ def cmd_extract_mesh_stage1(args):
 def cmd_extract_mesh_stage2(args):
     """extract_mesh_stage2.py:39-58: inner SDF where outer SDF < 0."""
     from nunerf_tpu.config import load_cfg
-    from nunerf_tpu.models.stage2 import Stage2Renderer
+    from nunerf_tpu.models import build_renderer
     from nunerf_tpu.train.trainer import load_checkpoint
     from nunerf_tpu.tracing.mesh_ops import extract_geometry, save_ply
 
     cfg = load_cfg(args.cfg)
-    renderer = Stage2Renderer(cfg)
+    renderer = build_renderer(cfg)  # zero-thickness or curvature-shell
     name = cfg["name"]
     ckpt = args.ckpt or os.path.join("data/model", name, "model.ckpt")
     step, params, _, _ = load_checkpoint(ckpt)

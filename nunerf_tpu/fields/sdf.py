@@ -133,7 +133,13 @@ class SDFNetwork(nn.Module):
 
 def _sdf_chain(module: SDFNetwork, params, d_in: int):
     """(spec, flat) of the SDF chain for the fused kernels.  The NeuS skip
-    layer's odd widths go to the kernel unpadded (Mosaic masks in VMEM)."""
+    layer's odd widths go to the kernel unpadded (Mosaic masks in VMEM).
+
+    Matmul operands: bf16 on TPU — XLA's DEFAULT precision for f32 dots on
+    TPU is a single bf16 pass (measured: param-grad rel err ~5e-3 vs the
+    f32-emulating 'highest'), so the kernel matches the numerics of the XLA
+    path it replaces while running the MXU at native rate.  f32 off-TPU so
+    the interpret-mode parity tests stay strict."""
     from nunerf_tpu.ops.fused_mlp import ChainSpec
 
     wb = module.apply(params, jnp.zeros((1, d_in)), return_weights=True)
@@ -160,7 +166,12 @@ def _sdf_chain(module: SDFNetwork, params, d_in: int):
         acts.append("softplus100" if l < n_l - 1 else "none")
         prev_real = w.shape[1]
 
-    spec = ChainSpec(tuple(dims), tuple(acts), tuple(has_skip), tuple(scales))
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    spec = ChainSpec(tuple(dims), tuple(acts), tuple(has_skip), tuple(scales),
+                     compute_dtype="bfloat16" if on_tpu else "float32")
     return spec, flat_w + flat_b
 
 

@@ -121,7 +121,8 @@ class ShapeRenderer:
         """SDF value only — the hot path of the sampling sweeps and the
         occlusion march (all under stop_gradient / first-order), so it may
         use the fused kernel; ``sdf_all`` (second-order) may not."""
-        if self.fused:
+        from nunerf_tpu.ops.fused_mlp import use_fused_sdf_value
+        if self.fused or use_fused_sdf_value():
             from nunerf_tpu.fields.sdf import fused_sdf_apply
             return fused_sdf_apply(self.sdf_net, params["sdf"], x)[..., :1]
         return self.sdf_net.apply(params["sdf"], x)[..., :1]

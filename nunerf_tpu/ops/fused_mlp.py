@@ -157,7 +157,10 @@ def _forward_tile(spec, x, weights, biases, dtype):
         if spec.scales[l] != 1.0:
             z = z * spec.scales[l]
         z = z + biases[l]
-        h = _act(spec.acts[l], z).astype(dtype)
+        # hidden activations carry the compute dtype; the final layer's
+        # output stays f32 (mirrors the XLA modules' mixed-precision policy)
+        lt = jnp.float32 if l == spec.n_layers - 1 else dtype
+        h = _act(spec.acts[l], z).astype(lt)
         h_list.append(h)
     return h_list, h
 
@@ -414,21 +417,47 @@ def chain_mlp_reference(spec: ChainSpec, x, *flat):
 
 
 def use_fused_mlp() -> bool:
-    """Opt-in (env NUNERF_FUSED_MLP=1 or cfg ``fused_mlp``).  The measured
-    step time is WORSE with every MLP fused (the bwd dW accumulation
-    serializes the grid), so the default stays off until the kernel beats
-    XLA.  The one kernel that decisively wins — the SDF value+jacobian
-    chain — has its own gate, ``use_fused_sdf``."""
+    """Opt-in (env NUNERF_FUSED_MLP=1 or cfg ``fused_mlp``).
+
+    Honest v5e measurements (varying inputs in a scan, value fetched):
+    * value-only SDF sweep, 164k pts: fused 2.36 ms vs XLA 3.47 ms — the
+      kernel WINS 32%: XLA sits at the HBM roofline and the kernel removes
+      7 of 8 per-layer activation round trips.
+    * 4-layer predictor head fwd+bwd, 131k pts, bf16: fused 3.48 ms vs XLA
+      2.22 ms — XLA WINS; its backward is already near roofline and the
+      kernel's in-VMEM dW accumulation stalls the tile pipeline.
+    Training is dominated by fwd+bwd paths, so the default stays off; the
+    forward-only win is available through this gate for inference/eval-heavy
+    workloads."""
     v = os.environ.get("NUNERF_FUSED_MLP")
     return v is not None and v not in ("0", "false", "")
+
+
+def use_fused_sdf_value() -> bool:
+    """Gate for the fused chain forward on the VALUE-ONLY SDF path (sampling
+    upsweeps, occlusion march, grid extraction — all first-order/no-grad).
+    Default ON on TPU (measured 2.36 vs 3.47 ms per 164k-pt sweep, see
+    ``use_fused_mlp``), overridable via NUNERF_FUSED_SDF_VALUE=0/1; off
+    elsewhere (interpret-mode Pallas is slow on CPU)."""
+    v = os.environ.get("NUNERF_FUSED_SDF_VALUE")
+    if v is not None:
+        return v not in ("0", "false", "")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def use_fused_sdf() -> bool:
     """Gate for the fused SDF value+jacobian kernel
     (``chain_mlp_with_grad0``) — opt-in via env NUNERF_FUSED_SDF=1 or cfg
-    ``fused_sdf``.  Honest measurement (per-iteration-varying inputs in a
-    scan, 164k points): kernel 73.4 ms vs XLA vmap(grad) 45.5 ms fwd+bwd,
-    so the default stays off until the kernel beats XLA."""
+    ``fused_sdf``.  Honest v5e measurements (varying inputs in a scan,
+    164k points, fwd+bwd through a loss on value+feature+grad):
+    batched-vjp XLA 34.5 ms < fused kernel 87.7 ms.  The jacobian design
+    keeps h/d/q stashes live across both sweeps and Mosaic's register
+    allocator spills >130 MB at block_rows=1024 (OOMs scoped vmem), so the
+    kernel loses despite precomputed weight transposes and bf16 operands.
+    Default off until the stash pressure is restructured."""
     v = os.environ.get("NUNERF_FUSED_SDF")
     return v is not None and v not in ("0", "false", "")
 
@@ -451,14 +480,21 @@ def _act_grad2_from_d(name, d):
     return jnp.zeros_like(d)
 
 
-def _jac_sweeps(spec, x, weights, biases):
-    """Forward + J-pass on one tile (f32).  Returns (h_list, d_list, q_list,
-    y, j) where q_list[l] is the cotangent at h_l of y[...,0] (l = 0..L-2),
-    j = d y0/dx."""
+def _jac_sweeps(spec, x, weights, weights_t, biases):
+    """Forward + J-pass on one tile.  Returns (h_list, d_list, q_list,
+    starts, y, j) where q_list[l] is the cotangent at h_l of y[...,0]
+    (l = 0..L-2), j = d y0/dx.
+
+    All B@W^T products use the precomputed ``weights_t`` (a contracting-dim-1
+    dot_general forces a per-tile transpose in Mosaic, ~10x slower than a
+    plain dot on v5e — same finding as the plain bwd kernel); matmul operands
+    are cast to ``spec.compute_dtype`` with f32 accumulation."""
     assert spec.acts[-1] == "none", "jac kernel expects a linear final layer"
     n_l = spec.n_layers
-    h_list, _ = _forward_tile(spec, x, weights, biases, jnp.float32)
-    d_list = [_act_grad_from_a(spec.acts[l], h_list[l]) for l in range(n_l)]
+    dtype = jnp.dtype(spec.compute_dtype)
+    h_list, _ = _forward_tile(spec, x, weights, biases, dtype)
+    d_list = [_act_grad_from_a(spec.acts[l], h_list[l].astype(jnp.float32))
+              for l in range(n_l)]
 
     # weight index bookkeeping: start index of each layer's weights
     starts = []
@@ -472,45 +508,46 @@ def _jac_sweeps(spec, x, weights, biases):
     j = jnp.zeros(x.shape, jnp.float32)
     l = n_l - 1
     w_h = weights[starts[l]]
-    q = spec.scales[l] * jnp.broadcast_to(w_h[:, 0][None, :],
-                                          (x.shape[0], w_h.shape[0]))
+    q = spec.scales[l] * jnp.broadcast_to(
+        w_h[:, 0][None, :].astype(jnp.float32), (x.shape[0], w_h.shape[0]))
     if spec.has_skip[l]:
         w_x = weights[starts[l] + 1]
-        j = j + spec.scales[l] * jnp.broadcast_to(w_x[:, 0][None, :], x.shape)
+        j = j + spec.scales[l] * jnp.broadcast_to(
+            w_x[:, 0][None, :].astype(jnp.float32), x.shape)
     q_list = [None] * n_l
     q_list[l - 1] = q
     for l in reversed(range(n_l - 1)):
-        p = q_list[l] * d_list[l]
-        w_h = weights[starts[l]]
-        nxt = jax.lax.dot_general(p, w_h, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        p = (q_list[l] * d_list[l]).astype(dtype)
+        nxt = jnp.dot(p, weights_t[starts[l]].astype(dtype),
+                      preferred_element_type=jnp.float32)
         nxt = nxt * spec.scales[l]
         if spec.has_skip[l]:
-            w_x = weights[starts[l] + 1]
-            j = j + spec.scales[l] * jax.lax.dot_general(
-                p, w_x, (((1,), (1,)), ((), ())),
+            j = j + spec.scales[l] * jnp.dot(
+                p, weights_t[starts[l] + 1].astype(dtype),
                 preferred_element_type=jnp.float32)
         if l == 0:
             j = j + nxt
         else:
             q_list[l - 1] = nxt
-    return h_list, d_list, q_list, starts, h_list[-1], j
+    return h_list, d_list, q_list, starts, h_list[-1].astype(jnp.float32), j
 
 
 def _jac_fwd_kernel(spec, n_rows, x_ref, *refs):
     nw = _weights_per_layer(spec)[1]
     w_refs = refs[:nw]
-    b_refs = refs[nw:nw + spec.n_layers]
-    y_ref = refs[nw + spec.n_layers]
-    j_ref = refs[nw + spec.n_layers + 1]
+    wt_refs = refs[nw:2 * nw]
+    b_refs = refs[2 * nw:2 * nw + spec.n_layers]
+    y_ref = refs[2 * nw + spec.n_layers]
+    j_ref = refs[2 * nw + spec.n_layers + 1]
 
     i = pl.program_id(0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (x_ref.shape[0], 1), 0)
     valid = (i * spec.block_rows + rows) < n_rows
     x = jnp.where(valid, x_ref[:], 0.0)
     weights = [w[:] for w in w_refs]
+    weights_t = [w[:] for w in wt_refs]
     biases = [b[:] for b in b_refs]
-    *_, y, j = _jac_sweeps(spec, x, weights, biases)
+    *_, y, j = _jac_sweeps(spec, x, weights, weights_t, biases)
     y_ref[:] = y
     j_ref[:] = j
 
@@ -518,13 +555,24 @@ def _jac_fwd_kernel(spec, n_rows, x_ref, *refs):
 def _make_jac_bwd_kernel(spec, n_rows):
     counts, nw = _weights_per_layer(spec)
     n_l = spec.n_layers
+    dtype = jnp.dtype(spec.compute_dtype)
+
+    def dot(a, b):
+        return jnp.dot(a.astype(dtype), b.astype(dtype),
+                       preferred_element_type=jnp.float32)
+
+    def dot_t(a, b):  # a^T @ b
+        return jax.lax.dot_general(
+            a.astype(dtype), b.astype(dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     def kernel(x_ref, gy_ref, gj_ref, *refs):
         w_refs = refs[:nw]
-        b_refs = refs[nw:nw + n_l]
-        dx_ref = refs[nw + n_l]
-        dw_refs = refs[nw + n_l + 1:nw + n_l + 1 + nw]
-        db_refs = refs[nw + n_l + 1 + nw:]
+        wt_refs = refs[nw:2 * nw]
+        b_refs = refs[2 * nw:2 * nw + n_l]
+        dx_ref = refs[2 * nw + n_l]
+        dw_refs = refs[2 * nw + n_l + 1:2 * nw + n_l + 1 + nw]
+        db_refs = refs[2 * nw + n_l + 1 + nw:]
 
         i = pl.program_id(0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (x_ref.shape[0], 1), 0)
@@ -534,9 +582,10 @@ def _make_jac_bwd_kernel(spec, n_rows):
         gj = jnp.where(valid, gj_ref[:], 0.0)
 
         weights = [w[:] for w in w_refs]
+        weights_t = [w[:] for w in wt_refs]
         biases = [b[:] for b in b_refs]
         h_list, d_list, q_list, starts, _, _ = _jac_sweeps(
-            spec, x, weights, biases)
+            spec, x, weights, weights_t, biases)
 
         # ---- reverse of the J-pass (runs upward l = 0..L-1) -------------
         # J-pass:  p_l = q_l * d_l ; q_{l-1} = s_l p_l @ Wh_l^T ;
@@ -550,20 +599,14 @@ def _make_jac_bwd_kernel(spec, n_rows):
             w_h = weights[starts[l]]
             p = q_list[l] * d_list[l]
             # pbar from the Wh^T matmul that produced q_{l-1} (or j at l=0)
-            pbar = spec.scales[l] * jnp.dot(qbar, w_h,
-                                            preferred_element_type=jnp.float32)
+            pbar = spec.scales[l] * dot(qbar, w_h)
             # dWh from that same matmul: q_{l-1}[t,i] = s sum_j p[t,j] Wh[i,j]
-            dwh = spec.scales[l] * jax.lax.dot_general(
-                qbar, p, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            dwh = spec.scales[l] * dot_t(qbar, p)
             _accum_pid(dw_refs[starts[l]], dwh, i, init=True)
             if spec.has_skip[l]:
                 w_x = weights[starts[l] + 1]
-                pbar = pbar + spec.scales[l] * jnp.dot(
-                    gj, w_x, preferred_element_type=jnp.float32)
-                dwx = spec.scales[l] * jax.lax.dot_general(
-                    gj, p, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                pbar = pbar + spec.scales[l] * dot(gj, w_x)
+                dwx = spec.scales[l] * dot_t(gj, p)
                 _accum_pid(dw_refs[starts[l] + 1], dwx, i, init=True)
             dbar[l] = pbar * q_list[l]
             qbar = pbar * d_list[l]
@@ -588,8 +631,7 @@ def _make_jac_bwd_kernel(spec, n_rows):
                        init=True)
             zs = zbar * spec.scales[l]
             h_prev = h_list[l - 1] if l > 0 else x
-            dwh = jax.lax.dot_general(h_prev, zs, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+            dwh = dot_t(h_prev, zs)
             last = l == n_l - 1
             if last:
                 # J-pass contribution lands in column 0 of the final weight
@@ -599,18 +641,13 @@ def _make_jac_bwd_kernel(spec, n_rows):
             # reverse never writes them), so they need the pid-0 init
             _accum_pid(dw_refs[starts[l]], dwh, i, init=last)
             if spec.has_skip[l]:
-                dwx = jax.lax.dot_general(x, zs, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+                dwx = dot_t(x, zs)
                 if last:
                     c0 = jax.lax.broadcasted_iota(jnp.int32, dwx.shape, 1) == 0
                     dwx = jnp.where(c0, dwx + dwx_last_col[:, None], dwx)
                 _accum_pid(dw_refs[starts[l] + 1], dwx, i, init=last)
-                dx = dx + jax.lax.dot_general(
-                    zs, weights[starts[l] + 1], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            gh = jax.lax.dot_general(zs, weights[starts[l]],
-                                     (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+                dx = dx + dot(zs, weights_t[starts[l] + 1])
+            gh = dot(zs, weights_t[starts[l]])
             if l > 0:
                 hbar = gh
             else:
@@ -645,12 +682,18 @@ def _jac_fwd_call(spec, x, flat):
     n, e = x.shape
     t = spec.block_rows
     grid = (pl.cdiv(n, t),)
+    nw = _weights_per_layer(spec)[1]
     w_shapes = _flat_weight_shapes(spec)
+    ws, bs = flat[:nw], flat[nw:]
+    wts = tuple(w.T for w in ws)  # XLA transposes once; tiny vs the kernel
 
     in_specs = [pl.BlockSpec((t, e), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     for s in w_shapes:
         in_specs.append(pl.BlockSpec(s, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for s in w_shapes:
+        in_specs.append(pl.BlockSpec((s[1], s[0]), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     for l in range(spec.n_layers):
         in_specs.append(pl.BlockSpec((1, spec.dims[l + 1]), lambda i: (0, 0),
@@ -671,7 +714,7 @@ def _jac_fwd_call(spec, x, flat):
             transcendentals=n * 512),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(x, *flat)
+    )(x, *ws, *wts, *bs)
 
 
 def _jac_bwd_call(spec, x, gy, gj, flat):
@@ -680,6 +723,8 @@ def _jac_bwd_call(spec, x, gy, gj, flat):
     grid = (pl.cdiv(n, t),)
     counts, nw = _weights_per_layer(spec)
     w_shapes = _flat_weight_shapes(spec)
+    ws, bs = flat[:nw], flat[nw:]
+    wts = tuple(w.T for w in ws)
 
     in_specs = [
         pl.BlockSpec((t, e), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -689,6 +734,9 @@ def _jac_bwd_call(spec, x, gy, gj, flat):
     ]
     for s in w_shapes:
         in_specs.append(pl.BlockSpec(s, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for s in w_shapes:
+        in_specs.append(pl.BlockSpec((s[1], s[0]), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     for l in range(spec.n_layers):
         in_specs.append(pl.BlockSpec((1, spec.dims[l + 1]), lambda i: (0, 0),
@@ -718,7 +766,7 @@ def _jac_bwd_call(spec, x, gy, gj, flat):
             transcendentals=n * 512),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(x, gy, gj, *flat)
+    )(x, gy, gj, *ws, *wts, *bs)
     dx = res[0]
     return dx, tuple(res[1:])
 
