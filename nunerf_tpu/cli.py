@@ -46,8 +46,12 @@ def cmd_extract_mesh_stage1(args):
     ckpt = args.ckpt or os.path.join("data/model", name, "model.ckpt")
     step, params, _, _ = load_checkpoint(ckpt)
 
-    def sdf_fn(pts):
-        return np.asarray(renderer.sdf(params, pts)[..., 0])
+    def sdf_fn(pts, chunk=2 ** 21):
+        # extraction slabs reach 33.5M points at res 512 — chunk the device
+        # calls so activations stay within HBM
+        out = [np.asarray(renderer.sdf(params, pts[i:i + chunk])[..., 0])
+               for i in range(0, len(pts), chunk)]
+        return np.concatenate(out, 0)
 
     verts, tris = extract_geometry(sdf_fn, resolution=args.resolution,
                                    bound=1.0, threshold=0.0, outside_val=1.0)
@@ -73,10 +77,14 @@ def cmd_extract_mesh_stage2(args):
     ckpt = args.ckpt or os.path.join("data/model", name, "model.ckpt")
     step, params, _, _ = load_checkpoint(ckpt)
 
-    def sdf_fn(pts):
-        inner = np.asarray(renderer.inner_sdf(params, pts)[..., 0])
-        outer = np.asarray(renderer.stage1_sdf(pts)[..., 0])
-        return np.where(outer < 0, inner, 1.0)
+    def sdf_fn(pts, chunk=2 ** 21):
+        out = []
+        for i in range(0, len(pts), chunk):
+            p = pts[i:i + chunk]
+            inner = np.asarray(renderer.inner_sdf(params, p)[..., 0])
+            outer = np.asarray(renderer.stage1_sdf(p)[..., 0])
+            out.append(np.where(outer < 0, inner, 1.0))
+        return np.concatenate(out, 0)
 
     verts, tris = extract_geometry(sdf_fn, resolution=args.resolution,
                                    bound=1.0, threshold=0.0, outside_val=1.0)

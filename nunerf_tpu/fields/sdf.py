@@ -182,19 +182,31 @@ def _sdf_embed(module: SDFNetwork, x2):
     return inputs.astype(jnp.float32)
 
 
-def fused_sdf_apply(module: SDFNetwork, params, x):
+def fused_sdf_apply(module: SDFNetwork, params, x, value_only: bool = False):
     """SDF forward through the fused chain kernel (ops/fused_mlp.py).
 
     First-order differentiable only (custom VJP) — serves the no-grad
     sampling sweeps, the occlusion march, and grid extraction; the main pass
     uses ``fused_sdf_all`` (value+jacobian kernel).
+
+    ``value_only`` slices the final layer to the sdf column BEFORE the
+    kernel, so the kernel writes [N,1] instead of [N,257] — 257x less output
+    traffic, and mandatory at mesh-extraction scale (a res-512 z-slab is
+    33.5M points; a 257-wide f32 output there is 34 GB).
     """
-    from nunerf_tpu.ops.fused_mlp import fused_chain_mlp
+    from nunerf_tpu.ops.fused_mlp import ChainSpec, fused_chain_mlp
 
     spec, flat = _sdf_chain(module, params, x.shape[-1])
+    if value_only:
+        nw = sum(2 if s else 1 for s in spec.has_skip)
+        flat = list(flat)
+        flat[nw - 1] = flat[nw - 1][:, :1]   # last W_h -> sdf column
+        flat[-1] = flat[-1][:, :1]           # last bias
+        spec = ChainSpec(spec.dims[:-1] + (1,), spec.acts, spec.has_skip,
+                         spec.scales, compute_dtype=spec.compute_dtype)
     x2 = _sdf_embed(module, x.reshape(-1, x.shape[-1]))
     y = fused_chain_mlp(spec, x2, *flat)
-    return y.reshape(*x.shape[:-1], module.d_out)
+    return y.reshape(*x.shape[:-1], 1 if value_only else module.d_out)
 
 
 def fused_sdf_all(module: SDFNetwork, params, x):

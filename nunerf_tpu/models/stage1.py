@@ -124,7 +124,8 @@ class ShapeRenderer:
         from nunerf_tpu.ops.fused_mlp import use_fused_sdf_value
         if self.fused or use_fused_sdf_value():
             from nunerf_tpu.fields.sdf import fused_sdf_apply
-            return fused_sdf_apply(self.sdf_net, params["sdf"], x)[..., :1]
+            return fused_sdf_apply(self.sdf_net, params["sdf"], x,
+                                   value_only=True)
         return self.sdf_net.apply(params["sdf"], x)[..., :1]
 
     def sdf_all(self, params, x):

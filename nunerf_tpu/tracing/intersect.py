@@ -40,8 +40,14 @@ def _moller_trumbore_tile(rays_o, rays_d, v0, e1, e2, eps=1e-9):
     qvec = jnp.cross(tvec, e1[None, :, :])
     v = jnp.sum(qvec * rays_d[:, None, :], axis=-1) * inv_det
     t = jnp.sum(qvec * e2[None, :, :], axis=-1) * inv_det
-    valid = ((jnp.abs(det) > eps) & (u >= 0.0) & (v >= 0.0)
-             & (u + v <= 1.0) & (t > 1e-5))
+    # small negative barycentric tolerance: rays through shared vertices /
+    # edges (e.g. a mesh pole) otherwise miss EVERY adjacent triangle once
+    # f32 rounding pushes u or v epsilon-negative (watertightness gap of
+    # per-triangle MT; OptiX solves this in hardware).  Harmless for
+    # closest-hit: at worst a shared edge double-counts the same t.
+    tol = 1e-6
+    valid = ((jnp.abs(det) > eps) & (u >= -tol) & (v >= -tol)
+             & (u + v <= 1.0 + tol) & (t > 1e-5))
     return jnp.where(valid, t, MISS_T)
 
 

@@ -118,6 +118,84 @@ class Scene:
         }
 
     # ------------------------------------------------------------------
+    @property
+    def topology(self):
+        """Lazy watertight edge table (DiffRender.py:362-379) for the
+        silhouette / regularizer API."""
+        if not hasattr(self, "_topology"):
+            from nunerf_tpu.tracing.mesh_reg import build_topology
+            self._topology = build_topology(self.tris_np, len(self.verts_np))
+        return self._topology
+
+    def refract_ray(self, inter: Dict[str, jnp.ndarray], rays_d,
+                    ext_ior: float = 1.00029, int_ior: float = 1.5):
+        """Snell refraction at a dintersect result (DiffRender.py:551-583):
+        entering/exiting chosen by the normal side, Fresnel + TIR computed
+        with swapped IoRs on exit.  Returns (new_o, new_d, refracted_mask).
+        Fixed shape — the reference's ``new_ray.select(refracted)`` boolean
+        compaction becomes a carried mask."""
+        from nunerf_tpu.ops.geometry import dot, refract
+
+        n = inter["normal"]
+        wo = -rays_d
+        cos_i = jnp.clip(dot(wo, n), -1.0, 1.0)
+        entering = cos_i[..., 0] > 0
+        n = jnp.where(entering[:, None], n, -n)
+        eta = jnp.where(entering[:, None], ext_ior / int_ior,
+                        int_ior / ext_ior)
+        wt, tir = refract(wo, n, eta)
+        new_o = inter["pos"] + 1e-5 * wt
+        ok = inter["hit"] & ~tir
+        return new_o, wt, ok
+
+    def trace2(self, rays_o, rays_d, ext_ior: float = 1.00029,
+               int_ior: float = 1.5):
+        """Two refraction bounces through the mesh (DiffRender.py:585-594).
+        Returns (o, d, ok): the exit rays; lanes that missed or TIR'd at
+        either interface carry ok=False (original rays retained)."""
+        i1 = self.dintersect(rays_o, rays_d)
+        o1, d1, ok1 = self.refract_ray(i1, rays_d, ext_ior, int_ior)
+        o1 = jnp.where(ok1[:, None], o1, rays_o)
+        d1 = jnp.where(ok1[:, None], d1, rays_d)
+        i2 = self.dintersect(o1, d1)
+        o2, d2, ok2 = self.refract_ray(i2, d1, ext_ior, int_ior)
+        ok = ok1 & ok2
+        return (jnp.where(ok[:, None], o2, rays_o),
+                jnp.where(ok[:, None], d2, rays_d), ok)
+
+    def render_transparent(self, rays_o, rays_d, ext_ior: float = 1.00029,
+                           int_ior: float = 1.5):
+        """Exit rays of transparent two-bounce transport
+        (DiffRender.py:444-457): refract in, refract out, and keep only rays
+        that then escape the mesh.  Returns (out_o, out_d, mask)."""
+        o2, d2, ok = self.trace2(rays_o, rays_d, ext_ior, int_ior)
+        escaped = ~self.intersect(o2, d2).hit
+        mask = ok & escaped
+        z = jnp.zeros_like(rays_o)
+        return (jnp.where(mask[:, None], o2, z),
+                jnp.where(mask[:, None], d2, z), mask)
+
+    def render_mask(self, rays_o, rays_d):
+        """Binary hit mask (DiffRender.py:458-462)."""
+        return self.intersect(rays_o, rays_d).hit.astype(jnp.float32)
+
+    def silhouette_edge(self, origin):
+        """Silhouette-edge mask wrt a viewpoint (DiffRender.py:469-481);
+        returns (edges [E,2], mask [E]) — fixed shape, no compaction."""
+        from nunerf_tpu.tracing.silhouette import silhouette_edges
+        return (jnp.asarray(self.topology.edges),
+                silhouette_edges(self.verts, self.topology,
+                                 jnp.asarray(origin)))
+
+    def primary_visibility(self, pose, K, origin, res_hw, verts=None,
+                           detach_depth: bool = False):
+        """Edge-sampled differentiable visibility (DiffRender.py:483-526)."""
+        from nunerf_tpu.tracing.silhouette import primary_visibility
+        return primary_visibility(self, jnp.asarray(pose), jnp.asarray(K),
+                                  jnp.asarray(origin), res_hw, verts=verts,
+                                  detach_depth=detach_depth)
+
+    # ------------------------------------------------------------------
     def unsigned_distance(self, points: np.ndarray, chunk: int = 4096):
         """Point-to-mesh distance — used by the stage-2 mesh postprocess
         (postprocess_stage2_mesh.py:9-26).  Jitted tiled sweep (the former
