@@ -57,9 +57,13 @@ def cmd_extract_mesh_stage1(args):
                                    bound=1.0, threshold=0.0, outside_val=1.0)
     os.makedirs("data/meshes", exist_ok=True)
     out = f"data/meshes/{name}-{step}.ply"
-    # reference flips face orientation before export (extract_mesh_stage1.py:44)
-    save_ply(out, verts, tris[:, ::-1])
-    verts_s, tris_s = isotropic_remesh(verts, tris[:, ::-1])
+    # The reference flips faces before export (extract_mesh_stage1.py:44)
+    # because PyMCubes winds them inward for its SDF convention; our
+    # marching-tets extraction already yields OUTWARD-wound faces
+    # (tests/test_tracing.py::test_mesh_face_orientation), so flipping here
+    # would invert every vertex normal the stage-2 refraction relies on.
+    save_ply(out, verts, tris)
+    verts_s, tris_s = isotropic_remesh(verts, tris)
     save_ply(f"data/meshes/{name}-{step}_simplified.ply", verts_s, tris_s)
     print(f"wrote {out} ({verts.shape[0]} verts) + simplified")
 
@@ -90,7 +94,7 @@ def cmd_extract_mesh_stage2(args):
                                    bound=1.0, threshold=0.0, outside_val=1.0)
     os.makedirs("data/meshes", exist_ok=True)
     out = f"data/meshes/{name}-{step}-inner.ply"
-    save_ply(out, verts, tris[:, ::-1])
+    save_ply(out, verts, tris)  # extraction winds outward (see stage-1 note)
     print(f"wrote {out} ({verts.shape[0]} verts)")
 
 

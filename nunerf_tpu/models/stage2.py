@@ -165,6 +165,12 @@ class Stage2Renderer:
             res = self.scene.dintersect(start, direc)
             hit = res["hit"] & active
             normal = res["normal"] if outside else -res["normal"]
+            # robustness to mesh winding: the interface normal must oppose
+            # the incoming ray (outward meshes satisfy this already; an
+            # inward-wound mesh would otherwise bend refracted rays back out
+            # of the glass and silently starve the inner object of gradient)
+            opposes = jnp.sum(normal * -direc, axis=-1, keepdims=True) >= 0
+            normal = jnp.where(opposes, normal, -normal)
 
             cos_i = jnp.sum(normal * -direc, axis=-1, keepdims=True)
             sin2_i = 1.0 - cos_i * cos_i

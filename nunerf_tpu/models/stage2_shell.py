@@ -100,6 +100,10 @@ class Stage2ShellRenderer(Stage2Renderer):
             res = self.scene.dintersect(start, direc)
             hit = res["hit"] & active
             normal = res["normal"] if outside else -res["normal"]
+            # orient against the incoming ray regardless of mesh winding
+            # (see models/stage2.py ray_trace)
+            opposes = jnp.sum(normal * -direc, axis=-1, keepdims=True) >= 0
+            normal = jnp.where(opposes, normal, -normal)
             K = res["curvature"]  # [R,1]
             r = 1.0 / safe_sqrt(jnp.abs(K), 1e-6)
             r = jnp.nan_to_num(r, nan=0.1)

@@ -50,8 +50,10 @@ def test_mesh_face_orientation(sphere_mesh):
     centers = verts[tris].mean(1)
     outward = np.sum(fn * centers, -1)
     frac = np.mean(outward > 0)
-    # orientation must be consistent (all out or all in)
-    assert frac > 0.99 or frac < 0.01, frac
+    # faces must wind OUTWARD: the stage-2 refraction derives interface
+    # normals from this winding (an inverted mesh bends refracted rays back
+    # out of the glass and the inner object never receives gradient)
+    assert frac > 0.99, frac
 
 
 def test_vertex_normals_curvature_sphere(sphere_mesh):
