@@ -136,3 +136,37 @@ def test_stage2_grads_flow_to_trainables(stage2_setup):
     assert gsum(grads["train"]["ior"]) > 0
     # frozen stage-1 receives zero gradient (stop_gradient)
     assert gsum(grads["frozen"]) == 0.0
+
+
+def test_ray_trace_survives_saved_remeshed_mesh(tmp_path, stage2_setup):
+    """Regression: the extraction CLI once flipped faces (copying the
+    reference's PyMCubes fix), inverting vertex normals — refracted rays
+    bent back out of the glass and bounce 1 hit nothing, silently zeroing
+    all rgb gradients into the inner networks.  Trace through a mesh that
+    went through the full save -> remesh -> reload -> Scene path and assert
+    interior bounces still connect."""
+    from nunerf_tpu.tracing.mesh_ops import (extract_geometry,
+                                             isotropic_remesh, load_ply,
+                                             save_ply)
+
+    def sphere_sdf(p):
+        return np.linalg.norm(p, axis=-1) - 0.5
+
+    verts, tris = extract_geometry(sphere_sdf, resolution=48)
+    verts_s, tris_s = isotropic_remesh(verts, tris)
+    path = str(tmp_path / "outer.ply")
+    save_ply(path, verts_s, tris_s)
+    scene = Scene(load_ply(path), tile=512)
+
+    s1 = ShapeRenderer(S1_CFG)
+    s1_params = s1.init_params(jax.random.PRNGKey(7))
+    renderer = Stage2Renderer(S2_CFG, scene=scene, stage1_params=s1_params)
+    params = renderer.init_params(jax.random.PRNGKey(8))
+
+    o, d = _camera_rays(48)
+    bounces, tir = renderer.ray_trace(params, o, d)
+    hit0 = int(np.asarray(bounces[0]["hit"]).sum())
+    hit1 = int(np.asarray(bounces[1]["hit"]).sum())
+    assert hit0 > 10
+    # the interior ray of (nearly) every converged entry must find the exit
+    assert hit1 >= 0.9 * int(np.asarray(bounces[0]["conv"]).sum())
