@@ -214,13 +214,33 @@ class Stage2Renderer:
         z_hit = jnp.linspace(0.0, 1.0, n)[None, :, None]
         pts_hit = start[:, None, :] + (end_hit - start)[:, None, :] * z_hit
 
-        # miss branch: coarse z in [0.1, bg_z_max] + one importance round from
-        # the frozen stage-1 background nerf weights.  Density-only fast path
+        # miss branch: coarse z + one importance round from the frozen
+        # stage-1 background nerf weights.  Density-only fast path
         # (NeRFNetwork.density, field.py:293-305): the color head isn't needed
         # for sampling weights — saves ~40% of the background evals.
+        #
+        # Coarse law (cfg bg_sampling):
+        #   'stage1' (default): linear [0.1, 4.5] + the inverse-depth tail
+        #     stage-1 trained its NeRF++ on (z = far/flip(linspace), reaching
+        #     r ~ 4500, renderer.py:177).  The frozen background's radiance
+        #     mass lives wherever stage-1 PUT it — often beyond r=64 — so the
+        #     reference's law leaves escaped/through-glass rays radiance-
+        #     starved, and the inner SDF grows floaters to paint the bright
+        #     environment.
+        #   'linear64': the reference law, linspace(0.1, 64)
+        #     (renderer_zerothick.py:1764-1767), for exact parity runs.
         n_coarse = n - n_imp
-        zc = jnp.broadcast_to(
-            jnp.linspace(0.1, cfg["bg_z_max"], n_coarse)[None, :], (rn, n_coarse))
+        if cfg.get("bg_sampling", "stage1") == "stage1":
+            n_tail = n_coarse // 3
+            n_near = n_coarse - n_tail
+            z_near = jnp.linspace(0.1, 4.5, n_near)
+            t = jnp.linspace(1e-3, 1.0 - 1.0 / (n_tail + 1.0), n_tail)
+            z_tail = 4.5 / jnp.flip(t) + 1.0 / n_tail
+            zc = jnp.concatenate([z_near, jnp.flip(z_tail)], -1)
+            zc = jnp.sort(zc)
+        else:
+            zc = jnp.linspace(0.1, cfg["bg_z_max"], n_coarse)
+        zc = jnp.broadcast_to(zc[None, :], (rn, n_coarse))
         pts_c = start[:, None, :] + direc[:, None, :] * zc[..., None]
         dists = jnp.concatenate([zc[:, 1:] - zc[:, :-1],
                                  (zc[:, -1:] - zc[:, -2:-1])], -1)

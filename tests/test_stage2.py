@@ -170,3 +170,22 @@ def test_ray_trace_survives_saved_remeshed_mesh(tmp_path, stage2_setup):
     assert hit0 > 10
     # the interior ray of (nearly) every converged entry must find the exit
     assert hit1 >= 0.9 * int(np.asarray(bounces[0]["conv"]).sum())
+
+
+def test_bg_sampling_reaches_stage1_tail(stage2_setup):
+    """The miss-branch background sampling must reach the far radii stage-1
+    trained its NeRF++ on (inverse-depth tail to r ~ 4500); the reference's
+    linear [0.1, 64] law leaves escaped rays radiance-starved and the inner
+    SDF paints the environment as a shell inside the glass."""
+    renderer, params = stage2_setup
+    o, d = _camera_rays(8)
+    bounces, _ = renderer.ray_trace(params, o, d)
+    b = dict(bounces[0])
+    b["hit"] = jnp.zeros_like(b["hit"])  # force the miss branch
+    pts = renderer._sample_outer_segment(params, b, jax.random.PRNGKey(0))
+    r = np.linalg.norm(np.asarray(pts), axis=-1)
+    assert r.max() > 1000.0  # inverse-depth tail present
+    assert (np.sort(np.asarray(jnp.linalg.norm(
+        pts - np.asarray(o)[:, None, :], axis=-1)), axis=1)
+            == np.asarray(jnp.linalg.norm(
+                pts - np.asarray(o)[:, None, :], axis=-1))).all()
