@@ -148,13 +148,24 @@ class Stage2Renderer:
         return self.sdf_inner.apply(params["train"]["sdf_inner"], pts)[..., :1]
 
     # ----- ray tracing --------------------------------------------------
-    def ray_trace(self, params, rays_o, rays_d):
+    def ray_trace(self, params, rays_o, rays_d, step=None):
         """3-bounce Snell trace through the outer mesh
         (renderer_zerothick.py:1571-1703), fixed-shape.
 
         Returns per-bounce dicts and the combined tir mask.
+
+        ``freeze_ior_step`` (cfg, default 0 = reference behavior): while the
+        inner SDF is still a wall at the entry interface, the interior path
+        length is ~0 and nothing constrains the IoR field — it drifts (to
+        eta=1, straight rays, on the nested scene), after which a straight-
+        ray light field painted on the wall beats true geometry and carving
+        never starts.  Freezing the IoR at its init (sigmoid midpoint 0.5 ->
+        eta = 1/1.5, the map's designed-in glass prior,
+        renderer_zerothick.py:1642) until geometry stabilizes removes that
+        failure mode.
         """
         train = params["train"]
+        freeze_ior = self.cfg.get("freeze_ior_step", 0)
         bounces = []
         start, direc = rays_o, normalize(rays_d)
         active = jnp.ones(rays_o.shape[0], bool)
@@ -175,6 +186,10 @@ class Stage2Renderer:
             cos_i = jnp.sum(normal * -direc, axis=-1, keepdims=True)
             sin2_i = 1.0 - cos_i * cos_i
             ior = self.ior_net.apply(train["ior"], res["pos"])
+            if freeze_ior and step is not None:
+                ior = jax.lax.cond(step < freeze_ior,
+                                   lambda v: jax.lax.stop_gradient(v),
+                                   lambda v: v, ior)
             eta = 1.0 / (ior + 1.0)           # IoR map (:1642-1643)
             if not outside:
                 eta = 1.0 / eta               # reciprocal when exiting (:1653)
@@ -364,7 +379,7 @@ class Stage2Renderer:
         cfg = self.cfg
         rn = rays_o.shape[0]
         frozen = jax.lax.stop_gradient(params["frozen"])
-        bounces, tir_mask = self.ray_trace(params, rays_o, rays_d)
+        bounces, tir_mask = self.ray_trace(params, rays_o, rays_d, step)
 
         current_T = jnp.ones((rn, 3))
         total_color = jnp.zeros((rn, 3))

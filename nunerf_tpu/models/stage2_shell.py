@@ -86,10 +86,12 @@ class Stage2ShellRenderer(Stage2Renderer):
         n_after = jnp.where(curv_pos, Q - center, center - Q)
         return Q, normalize(n_after)
 
-    def ray_trace(self, params, rays_o, rays_d):
-        """3 bounces with shell refraction (renderer.py:1610-2009)."""
+    def ray_trace(self, params, rays_o, rays_d, step=None):
+        """3 bounces with shell refraction (renderer.py:1610-2009).
+        ``freeze_ior_step``: see models/stage2.py ray_trace."""
         cfg = self.cfg
         train = params["train"]
+        freeze_ior = cfg.get("freeze_ior_step", 0)
         bounces = []
         start, direc = rays_o, normalize(rays_d)
         active = jnp.ones(rays_o.shape[0], bool)
@@ -108,8 +110,12 @@ class Stage2ShellRenderer(Stage2Renderer):
             r = 1.0 / safe_sqrt(jnp.abs(K), 1e-6)
             r = jnp.nan_to_num(r, nan=0.1)
 
-            eta1 = 1.0 / (self.ior_net.apply(train["ior"], res["pos"])
-                          + cfg["ior_offset"])
+            ior = self.ior_net.apply(train["ior"], res["pos"])
+            if freeze_ior and step is not None:
+                ior = jax.lax.cond(step < freeze_ior,
+                                   lambda v: jax.lax.stop_gradient(v),
+                                   lambda v: v, ior)
+            eta1 = 1.0 / (ior + cfg["ior_offset"])
             # inner medium assumed air (renderer.py:1732-1734)
             eta_inner = jnp.full_like(eta1, 1.0 / 1.0001)
             eta2 = eta_inner / eta1
