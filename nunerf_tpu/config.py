@@ -43,6 +43,14 @@ STAGE1_DEFAULTS: Dict[str, Any] = {
     "inf_far": 1000.0,
     "n_importance": 64,
     "up_sample_steps": 4,
+    # Sphere-clipped static sample partition (net-new TPU design, see
+    # stage1.ShapeRenderer.sample_ray_partitioned): the SDF/shading branch
+    # runs only on the unit-sphere chord samples and the NeRF++ background
+    # only on the gap + tail samples.  False restores the round-1 behavior
+    # (both branches at every sample, `where`-merged).
+    "partition_samples": True,
+    "n_front_samples": 16,
+    "n_back_samples": 16,
     "perturb": 1.0,
     "anneal_end": 50000,
     "train_ray_num": 1024,

@@ -199,6 +199,9 @@ def fused_sdf_apply(module: SDFNetwork, params, x, value_only: bool = False):
     spec, flat = _sdf_chain(module, params, x.shape[-1])
     if value_only:
         nw = sum(2 if s else 1 for s in spec.has_skip)
+        # flat[nw-1] must be the last layer's ONLY weight: a skip on the
+        # final layer would make it the W_x half and mis-slice the chain
+        assert not spec.has_skip[-1], "value_only requires a skip-free final layer"
         flat = list(flat)
         flat[nw - 1] = flat[nw - 1][:, :1]   # last W_h -> sdf column
         flat[-1] = flat[-1][:, :1]           # last bias

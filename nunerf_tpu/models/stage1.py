@@ -88,6 +88,20 @@ class ShapeRenderer:
             from nunerf_tpu.ops.fused_mlp import use_fused_sdf
             fused_sdf = use_fused_sdf()
         self.fused_sdf = bool(fused_sdf)
+        # matmul_precision high/highest asks for reference-grade numerics:
+        # the fused value kernel computes in bf16 on TPU, so it must not
+        # silently bypass that knob (cfg fused_sdf_value / env
+        # NUNERF_FUSED_SDF_VALUE still force it either way)
+        fsv = self.cfg.get("fused_sdf_value")
+        if fsv is None:
+            import os
+            from nunerf_tpu.ops.fused_mlp import use_fused_sdf_value
+            if (self.cfg.get("matmul_precision", "default") in ("high", "highest")
+                    and os.environ.get("NUNERF_FUSED_SDF_VALUE") is None):
+                fsv = False
+            else:
+                fsv = use_fused_sdf_value()
+        self.fused_sdf_value = bool(fsv)
         self.outer_nerf = NeRFNetwork(rgb_bias_init=float(np.log(0.5)),
                                       dtype=dtype, fused=self.fused)
         self.color_net = AppShadingNetwork(
@@ -121,8 +135,7 @@ class ShapeRenderer:
         """SDF value only — the hot path of the sampling sweeps and the
         occlusion march (all under stop_gradient / first-order), so it may
         use the fused kernel; ``sdf_all`` (second-order) may not."""
-        from nunerf_tpu.ops.fused_mlp import use_fused_sdf_value
-        if self.fused or use_fused_sdf_value():
+        if self.fused or self.fused_sdf_value:
             from nunerf_tpu.fields.sdf import fused_sdf_apply
             return fused_sdf_apply(self.sdf_net, params["sdf"], x,
                                    value_only=True)
@@ -154,20 +167,12 @@ class ShapeRenderer:
         part is sorted ascending, background samples appended after.
         """
         cfg = self.cfg
-        n_samples = cfg["n_samples"]
         n_bg = cfg["n_bg_samples"]
-        n_imp = cfg["n_importance"]
-        steps = cfg["up_sample_steps"]
         rn = rays_o.shape[0]
 
-        z_vals = jnp.linspace(0.0, 1.0, n_samples)[None, :]
-        z_vals = near + (far - near) * z_vals  # [R, n]
         z_out = jnp.linspace(1e-3, 1.0 - 1.0 / (n_bg + 1.0), n_bg)
-
         if perturb > 0:
-            r1, r2 = jax.random.split(rng)
-            t_rand = jax.random.uniform(r1, (rn, 1)) - 0.5
-            z_vals = z_vals + t_rand * 2.0 / n_samples
+            rng, r2 = jax.random.split(rng)
             mids = 0.5 * (z_out[1:] + z_out[:-1])
             upper = jnp.concatenate([mids, z_out[-1:]])
             lower = jnp.concatenate([z_out[:1], mids])
@@ -178,7 +183,101 @@ class ShapeRenderer:
 
         z_out = far / jnp.flip(z_out, axis=-1) + 1.0 / n_bg  # [R, n_bg]
 
-        # hierarchical upsampling under stop_gradient (reference no_grad)
+        z_vals = self._hierarchical_inner(params, rays_o, rays_d, near, far,
+                                          perturb, rng, abs_jitter=True)
+        return jnp.concatenate([z_vals, z_out], axis=-1)
+
+    def sample_ray_partitioned(self, params, rays_o, rays_d, near, far,
+                               perturb: float, rng):
+        """Sphere-clipped sampling: a STATIC partition of the sample axis.
+
+        The reference boolean-compacts samples into SDF / background branches
+        at runtime (renderer.py:756-779); the round-1 TPU port instead paid
+        for BOTH branches at every sample.  This variant clips the
+        hierarchical NeuS samples to the ray's unit-sphere chord [t0, t1]
+        (inside by construction -> SDF branch), places uniform outer samples
+        in the [near, t0] and [t1, far] gaps plus the inverse-depth tail
+        (outside by construction -> NeRF++ branch), so each branch's
+        networks run only on their own static slice.  Rays that miss the
+        sphere collapse the chord to the closest-approach point and spread
+        the gap samples across [near, far].
+
+        Returns (z_vals [R, F+I+B], sphere_hit [R]) with the static
+        partition (F, I) = (n_front, n_samples + n_importance).
+        """
+        cfg = self.cfg
+        n_front = cfg["n_front_samples"]
+        n_back = cfg["n_back_samples"]
+        n_bg = cfg["n_bg_samples"]
+        rn = rays_o.shape[0]
+
+        # robust ray/unit-sphere chord (rays_d need not be unit length)
+        a = jnp.sum(rays_d * rays_d, axis=-1, keepdims=True)
+        b = 2.0 * jnp.sum(rays_o * rays_d, axis=-1, keepdims=True)
+        c = jnp.sum(rays_o * rays_o, axis=-1, keepdims=True) - 1.0
+        disc = b * b - 4.0 * a * c
+        hit = disc[..., 0] > 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        mid = -b / (2.0 * a)
+        t0 = jnp.where(hit[:, None], (-b - sq) / (2.0 * a), mid)
+        t1 = jnp.where(hit[:, None], (-b + sq) / (2.0 * a), mid)
+        t0 = jnp.clip(t0, near, far)
+        t1 = jnp.clip(t1, near, far)
+        sphere_hit = hit & (t1[..., 0] > t0[..., 0])
+
+        r_in, r_gap, r_bg = jax.random.split(rng, 3)
+
+        def gap_fractions(n, key):
+            base = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+            if perturb > 0:
+                jit = (jax.random.uniform(key, (rn, n)) - 0.5) / n
+                return base[None, :] + jit
+            return jnp.broadcast_to(base[None, :], (rn, n))
+
+        kf, kb = jax.random.split(r_gap)
+        z_front = near + (t0 - near) * gap_fractions(n_front, kf)
+        z_back = t1 + (far - t1) * gap_fractions(n_back, kb)
+
+        # inverse-depth background tail beyond ``far`` (same law as the
+        # legacy path / the reference's stage-1 background sampling)
+        z_out = jnp.linspace(1e-3, 1.0 - 1.0 / (n_bg + 1.0), n_bg)
+        if perturb > 0:
+            mids = 0.5 * (z_out[1:] + z_out[:-1])
+            upper = jnp.concatenate([mids, z_out[-1:]])
+            lower = jnp.concatenate([z_out[:1], mids])
+            t2 = jax.random.uniform(r_bg, (rn, n_bg))
+            z_out = lower[None, :] + (upper - lower)[None, :] * t2
+        else:
+            z_out = jnp.broadcast_to(z_out[None, :], (rn, n_bg))
+        z_out = far / jnp.flip(z_out, axis=-1) + 1.0 / n_bg
+
+        z_in = self._hierarchical_inner(params, rays_o, rays_d, t0, t1,
+                                        perturb, r_in)
+        z_in = jnp.clip(z_in, t0, t1)  # jitter must not leak into the gaps
+
+        z_vals = jnp.concatenate([z_front, z_in, z_back, z_out], axis=-1)
+        return z_vals, sphere_hit
+
+    def _hierarchical_inner(self, params, rays_o, rays_d, near, far,
+                            perturb: float, rng, abs_jitter: bool = False):
+        """The hierarchical NeuS rounds of ``sample_ray`` over an arbitrary
+        [near, far] interval (no background tail).  Returns [R, n_s + n_imp]
+        sorted ascending.  ``abs_jitter`` keeps the reference's absolute
+        jitter amplitude (renderer.py:594, assumes far-near ~ 2); the
+        partitioned path scales the jitter to the chord length."""
+        cfg = self.cfg
+        n_samples = cfg["n_samples"]
+        n_imp = cfg["n_importance"]
+        steps = cfg["up_sample_steps"]
+        rn = rays_o.shape[0]
+
+        z_vals = jnp.linspace(0.0, 1.0, n_samples)[None, :]
+        z_vals = near + (far - near) * z_vals  # [R, n]
+        if perturb > 0:
+            t_rand = jax.random.uniform(rng, (rn, 1)) - 0.5
+            amp = 2.0 if abs_jitter else 2.0 * (far - near)
+            z_vals = z_vals + t_rand * amp / n_samples
+
         def stop(x):
             return jax.lax.stop_gradient(x)
 
@@ -200,8 +299,7 @@ class ShapeRenderer:
                 z_vals, sdf = merge_z_vals(z_vals, new_z, sdf, new_sdf)
             else:
                 z_vals, _ = merge_z_vals(z_vals, new_z, sdf, None)
-
-        return jnp.concatenate([z_vals, z_out], axis=-1)
+        return z_vals
 
     # ----- shading branches --------------------------------------------
     def compute_density_alpha(self, params, points, dists, dirs):
@@ -406,6 +504,156 @@ class ShapeRenderer:
                 with_inter=with_inter))
         return outputs
 
+    def render_core_partitioned(self, params, rays_o, rays_d, z_vals,
+                                sphere_hit, human_poses, cos_anneal_ratio,
+                                step, rng, is_train: bool, is_nerf: bool,
+                                with_inter: bool = False):
+        """``render_core`` over the static sample partition produced by
+        ``sample_ray_partitioned``: SDF + shading run ONLY on the inner
+        slice, the NeRF++ background ONLY on the outer slices — the exact
+        compaction the reference gets from boolean indexing
+        (renderer.py:756-779), with zero gather cost because the partition
+        is static."""
+        cfg = self.cfg
+        F = cfg["n_front_samples"]
+        I = cfg["n_samples"] + cfg["n_importance"]
+        rn, sn = z_vals.shape
+        B = sn - F - I
+
+        dists = z_vals[:, 1:] - z_vals[:, :-1]
+        dists = jnp.concatenate([dists, dists[:, -1:]], axis=-1)
+        mid_z = z_vals + dists * 0.5
+        points = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., None]
+        dirs = jnp.broadcast_to(normalize(rays_d)[:, None, :], points.shape)
+
+        pts_in = points[:, F:F + I].reshape(-1, 3)
+        dirs_in = dirs[:, F:F + I].reshape(-1, 3)
+        dists_in = dists[:, F:F + I].reshape(-1)
+        pts_out = jnp.concatenate([points[:, :F], points[:, F + I:]], 1)
+        dirs_out = jnp.concatenate([dirs[:, :F], dirs[:, F + I:]], 1)
+        dists_out = jnp.concatenate([dists[:, :F], dists[:, F + I:]], 1)
+
+        # outer branch (NeRF++) on the F + B outer samples only
+        alpha_nerf, color_nerf = self.compute_density_alpha(
+            params, pts_out.reshape(-1, 3), dists_out.reshape(-1),
+            -dirs_out.reshape(-1, 3))
+        alpha_nerf = alpha_nerf.reshape(rn, F + B)
+        color_nerf = color_nerf.reshape(rn, F + B, 3)
+
+        # inner branch (SDF + shading) on the I chord samples only
+        alpha_sdf, grads, feats, inv_s, sdf = self.compute_sdf_alpha(
+            params, pts_in, dists_in, dirs_in, cos_anneal_ratio, step)
+        if human_poses is not None:
+            hp = jnp.broadcast_to(human_poses[:, None],
+                                  (rn, I, 3, 4)).reshape(-1, 3, 4)
+        else:
+            hp = None
+        color_sdf, occ_info = self.color_net.apply(
+            params["shade"], pts_in, grads, -dirs_in, feats, hp)
+        # rays missing the sphere carry a degenerate (zero-length) chord:
+        # their inner samples must not absorb anything
+        alpha_sdf = alpha_sdf.reshape(rn, I) * sphere_hit[:, None]
+        color_sdf = color_sdf.reshape(rn, I, 3)
+
+        alpha = jnp.concatenate(
+            [alpha_nerf[:, :F], alpha_sdf, alpha_nerf[:, F:]], axis=1)
+        sampled_color = jnp.concatenate(
+            [color_nerf[:, :F], color_sdf, color_nerf[:, F:]], axis=1)
+        alpha_bkgr = jnp.concatenate(
+            [alpha_nerf[:, :F], jnp.zeros((rn, I), alpha.dtype),
+             alpha_nerf[:, F:]], axis=1)
+        color_bkgr_s = jnp.concatenate(
+            [color_nerf[:, :F], jnp.zeros((rn, I, 3), alpha.dtype),
+             color_nerf[:, F:]], axis=1)
+
+        weights = alpha_to_weights(alpha)  # [R,S]
+        color = jnp.sum(sampled_color * weights[..., None], axis=1)
+        weights_bkgr = alpha_to_weights(alpha_bkgr)
+        color_bkgr = jnp.sum(color_bkgr_s * weights_bkgr[..., None], axis=1)
+
+        # eikonal + normal-orientation on the inner lanes (mid-z shifts can
+        # push a chord sample epsilon-outside, so keep the radius test)
+        flat_inner = ((jnp.linalg.norm(pts_in, axis=-1) <= 1.0)
+                      & jnp.repeat(sphere_hit, I))
+        grad_norm = jnp.linalg.norm(grads, axis=-1)
+        gradient_error = masked_mean((grad_norm - 1.0) ** 2, flat_inner)
+        normal_dir = jnp.maximum(
+            jnp.sum(grads * dirs_in, axis=-1), 0.0) * flat_inner
+        normal_ori_loss = jnp.sum(
+            normal_dir.reshape(rn, I) * weights[:, F:F + I], axis=1)
+
+        # bkgr-vs-env consistency (renderer.py:799-821): candidate = the
+        # sample just past the uniform chord section
+        cand_idx = F + min(cfg["n_samples"], I - 1)
+        pts_cand = points[:, cand_idx, :]
+        dirs_cand = dirs[:, 0, :]
+        cand_inner = (jnp.linalg.norm(pts_cand, axis=-1) <= 1.0) & sphere_hit
+        safe_cand = jnp.where(cand_inner[:, None], pts_cand,
+                              jnp.zeros_like(pts_cand))
+        color_spec = linear_to_srgb(self.color_net.apply(
+            params["shade"], safe_cand, dirs_cand,
+            method=AppShadingNetwork.outer_light_for_dir))
+
+        acc = jnp.sum(weights, axis=-1)
+        if is_nerf:
+            color = color + (1.0 - acc[..., None])
+
+        outputs: Dict[str, Any] = {
+            "ray_rgb": jnp.clip(color, 0.0, 1.0),
+            "gradient_error": gradient_error,
+            "loss_normal": jnp.mean(normal_ori_loss),
+            "acc": acc,
+            "color_bkgr": color_bkgr,
+            "color_spec": color_spec,
+            "spec_mask": cand_inner,
+            "std": jnp.mean(1.0 / inv_s),
+        }
+
+        # init SDF regularizer (first 1000 steps).  The "large" half needs
+        # SDF values at outer points near the sphere (1.05 < r < 1.2) which
+        # the partitioned hot path never evaluates — so evaluate them inside
+        # the cond branch, where they cost nothing after step 1000.
+        def init_reg(_):
+            out_flat = pts_out.reshape(-1, 3)
+            reg_mask = jnp.linalg.norm(out_flat, axis=-1) < 1.2
+            safe_out = jnp.where(reg_mask[:, None], out_flat,
+                                 2.0 * jnp.ones_like(out_flat))
+            sdf_out = self.sdf(params, safe_out)[..., 0]
+            all_pts = jnp.concatenate([pts_in, safe_out], 0)
+            all_sdf = jnp.concatenate(
+                [sdf, jnp.where(reg_mask, sdf_out, 10.0)], 0)
+            return self._init_sdf_reg(all_pts, all_sdf,
+                                      step.astype(jnp.float32))
+
+        small, large = jax.lax.cond(step < 1000, init_reg,
+                                    lambda _: (jnp.zeros(()), jnp.zeros(())),
+                                    None)
+        outputs["loss_sdf_small"] = small
+        outputs["loss_sdf_large"] = large
+
+        if cfg["apply_occ_loss"]:
+            reflective = occ_info["reflective"]
+
+            def occ(_):
+                return self._occ_loss(params, pts_in, sdf, grads, dirs_in,
+                                      occ_info["occ_prob"], reflective,
+                                      flat_inner, rng)
+
+            outputs["loss_occ"] = jax.lax.cond(
+                step >= cfg["occ_loss_step"], occ,
+                lambda _: jnp.zeros(()), None)
+
+        outputs["transmission"] = masked_mean(
+            occ_info["transmission_weight"][..., 0], flat_inner)
+        outputs["metallic"] = masked_mean(occ_info["metallic"][..., 0],
+                                          flat_inner)
+
+        if not is_train:
+            outputs.update(self.compute_validation_info(
+                params, z_vals, rays_o, rays_d, weights, human_poses, step,
+                with_inter=with_inter))
+        return outputs
+
     def compute_validation_info(self, params, z_vals, rays_o, rays_d, weights,
                                 human_poses, step, with_inter=True):
         """renderer.py:649-668 — surface-point channels for validation."""
@@ -441,6 +689,13 @@ class ShapeRenderer:
         if perturb_overwrite >= 0:
             perturb = perturb_overwrite
         r_sample, r_core = jax.random.split(rng)
+        if self.cfg["partition_samples"]:
+            z_vals, sphere_hit = self.sample_ray_partitioned(
+                params, rays_o, rays_d, near, far, perturb, r_sample)
+            return self.render_core_partitioned(
+                params, rays_o, rays_d, z_vals, sphere_hit, human_poses,
+                cos_anneal_ratio, step, r_core, is_train=is_train,
+                is_nerf=is_nerf, with_inter=with_inter)
         z_vals = self.sample_ray(params, rays_o, rays_d, near, far, perturb,
                                  r_sample)
         return self.render_core(params, rays_o, rays_d, z_vals, human_poses,

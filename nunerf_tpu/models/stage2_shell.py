@@ -106,7 +106,10 @@ class Stage2ShellRenderer(Stage2Renderer):
             # (see models/stage2.py ray_trace)
             opposes = jnp.sum(normal * -direc, axis=-1, keepdims=True) >= 0
             normal = jnp.where(opposes, normal, -normal)
-            K = res["curvature"]  # [R,1]
+            # curvature is signed by the same winding as the normal: flip it
+            # together with the normal so an inward-wound mesh still puts the
+            # shell offset Q on the correct side
+            K = jnp.where(opposes, res["curvature"], -res["curvature"])  # [R,1]
             r = 1.0 / safe_sqrt(jnp.abs(K), 1e-6)
             r = jnp.nan_to_num(r, nan=0.1)
 

@@ -220,7 +220,9 @@ def render_view(c2w: np.ndarray, h: int, w: int, focal: float):
     rgb, hit = trace_rays(o.reshape(-1, 3), d.reshape(-1, 3))
     rgba = np.concatenate([rgb.reshape(h, w, 3),
                            hit.reshape(h, w, 1).astype(np.float64)], -1)
-    return (rgba * 255).astype(np.uint8)
+    # round, don't truncate: truncation would bias every pixel ~0.5/255 dark
+    # relative to the analytic float tracer used for PSNR-parity scoring
+    return np.round(rgba * 255).astype(np.uint8)
 
 
 def gt_surface_points(n: int = 20000, seed: int = 0):

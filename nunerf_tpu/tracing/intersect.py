@@ -45,6 +45,11 @@ def _moller_trumbore_tile(rays_o, rays_d, v0, e1, e2, eps=1e-9):
     # f32 rounding pushes u or v epsilon-negative (watertightness gap of
     # per-triangle MT; OptiX solves this in hardware).  Harmless for
     # closest-hit: at worst a shared edge double-counts the same t.
+    # CAVEAT: the tolerance is absolute (u,v are barycentric, so its width
+    # in world units scales with triangle size) — fine for closest-hit on
+    # unit-bound scenes, but do NOT reuse this kernel for hit-count-parity
+    # (inside/outside) queries: a shared edge can register two hits at the
+    # same t.
     tol = 1e-6
     valid = ((jnp.abs(det) > eps) & (u >= -tol) & (v >= -tol)
              & (u + v <= 1.0 + tol) & (t > 1e-5))
