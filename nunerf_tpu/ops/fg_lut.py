@@ -2,12 +2,18 @@
 
 The reference ships a precomputed 256x256x2 binary asset sampled with
 nvdiffrast (``network/field.py:583-584,721-722``).  We instead *compute* the
-table with the standard Karis split-sum preintegration (GGX importance
-sampling, Smith visibility, Schlick Fresnel weight) at first use and cache it
-on disk; the table axes are (u = NoV, v = roughness).
+table with split-sum preintegration (GGX importance sampling with
+alpha = roughness^2, Smith height-correlated visibility, Schlick Fresnel
+weight) at first use and cache it on disk.  This formulation was identified
+by numerically matching the reference's ``assets/bsdf_256_256.bin``: it
+agrees to Monte-Carlo noise (~1e-3 mean), whereas the Karis separable
+Smith-Schlick variant differs by up to 0.32 at grazing angles
+(tests/test_torch_parity.py pins the match).
 
-The lookup itself is a plain bilinear gather in JAX (clamp boundary, linear
-filter — matching nvdiffrast's ``filter_mode='linear', boundary_mode='clamp'``).
+Layout matches the reference asset / nvdiffrast texture convention:
+rows (v) = roughness, cols (u) = NoV.  The lookup is a plain bilinear
+gather in JAX (clamp boundary, linear filter — matching nvdiffrast's
+``filter_mode='linear', boundary_mode='clamp'``).
 """
 
 from __future__ import annotations
@@ -35,16 +41,19 @@ def _hammersley(n: int) -> np.ndarray:
     return np.stack([x, y], axis=-1)
 
 
-def compute_fg_lut(res: int = 256, n_samples: int = 512) -> np.ndarray:
-    """Integrate the split-sum BRDF -> [res, res, 2] float32 (A, B)."""
+def compute_fg_lut(res: int = 256, n_samples: int = 4096) -> np.ndarray:
+    """Integrate the split-sum BRDF -> [res, res, 2] float32 (A, B).
+
+    Rows = roughness, cols = NoV (the reference asset's layout)."""
     xi = _hammersley(n_samples)  # [S,2]
     uv = (np.arange(res, dtype=np.float64) + 0.5) / res
-    nov = uv[:, None]            # rows: NoV        [R,1]
-    rough = uv[None, :]          # cols: roughness  [1,R]
+    rough = uv[:, None]          # rows: roughness  [R,1]
+    nov = uv[None, :]            # cols: NoV        [1,R]
 
-    nov_g = np.broadcast_to(nov, (res, res)).reshape(-1, 1)      # [T,1]
     rough_g = np.broadcast_to(rough, (res, res)).reshape(-1, 1)  # [T,1]
+    nov_g = np.broadcast_to(nov, (res, res)).reshape(-1, 1)      # [T,1]
     alpha = rough_g**2
+    alpha2 = alpha**2
 
     vx = np.sqrt(np.maximum(0.0, 1.0 - nov_g**2))
     vz = nov_g
@@ -56,24 +65,25 @@ def compute_fg_lut(res: int = 256, n_samples: int = 512) -> np.ndarray:
         x = xi[s0:s0 + chunk]
         phi = 2.0 * np.pi * x[None, :, 0]                 # [1,C]
         cos_th = np.sqrt((1.0 - x[None, :, 1])
-                         / (1.0 + (alpha**2 - 1.0) * x[None, :, 1]))  # [T,C]
+                         / (1.0 + (alpha2 - 1.0) * x[None, :, 1]))  # [T,C]
         sin_th = np.sqrt(np.maximum(0.0, 1.0 - cos_th**2))
         hx = sin_th * np.cos(phi)
         hy = sin_th * np.sin(phi)
         hz = cos_th
         voh = vx * hx + vz * hz                           # [T,C]
-        lx = 2.0 * voh * hx - vx
         lz = 2.0 * voh * hz - vz
         nol = np.maximum(lz, 0.0)
         noh = np.maximum(hz, 0.0)
         voh = np.maximum(voh, 0.0)
-        valid = nol > 0
+        valid = lz > 0
 
-        k = alpha / 2.0
-        g_v = nov_g / np.maximum(nov_g * (1.0 - k) + k, 1e-8)
-        g_l = nol / np.maximum(nol * (1.0 - k) + k, 1e-8)
-        g = g_v * g_l
-        g_vis = np.where(valid, g * voh / np.maximum(noh * nov_g, 1e-8), 0.0)
+        # Smith height-correlated visibility V (includes 1/(4 NoV NoL));
+        # sample weight = 4 V NoL VoH / NoH.  Matches the reference asset
+        # to MC noise; the separable Smith-Schlick (k = alpha/2) does NOT.
+        g_l = nol * np.sqrt(np.maximum(nov_g**2 * (1.0 - alpha2) + alpha2, 1e-18))
+        g_v = nov_g * np.sqrt(np.maximum(nol**2 * (1.0 - alpha2) + alpha2, 1e-18))
+        vis = 0.5 / np.maximum(g_l + g_v, 1e-9)
+        g_vis = np.where(valid, 4.0 * vis * nol * voh / np.maximum(noh, 1e-9), 0.0)
         fc = (1.0 - voh) ** 5
         a_sum += np.sum((1.0 - fc) * g_vis, axis=-1, keepdims=True)
         b_sum += np.sum(fc * g_vis, axis=-1, keepdims=True)
@@ -96,8 +106,9 @@ def get_fg_lut(res: int = 256) -> np.ndarray:
 def fg_lookup(lut: jnp.ndarray, no_v: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
     """Bilinear LUT sample.  lut: [R,R,2]; no_v/roughness: [...,1] in [0,1].
 
-    Returns [..., 2].  Row axis is NoV, column axis roughness (matching the
-    reference's ``fg_uv = cat([NoV, roughness])`` texture sample).
+    Returns [..., 2].  Rows (v) = roughness, cols (u) = NoV — nvdiffrast's
+    convention for the reference's ``fg_uv = cat([NoV, roughness])`` sample
+    (``dr.texture`` reads uv as (u=x=cols, v=y=rows), field.py:721-722).
     """
     r = lut.shape[0]
     u = jnp.clip(no_v[..., 0], 0.0, 1.0) * r - 0.5
@@ -108,9 +119,9 @@ def fg_lookup(lut: jnp.ndarray, no_v: jnp.ndarray, roughness: jnp.ndarray) -> jn
     v1 = jnp.minimum(v0 + 1, r - 1)
     fu = jnp.clip(u - u0, 0.0, 1.0)[..., None]
     fv = jnp.clip(v - v0, 0.0, 1.0)[..., None]
-    c00 = lut[u0, v0]
-    c01 = lut[u0, v1]
-    c10 = lut[u1, v0]
-    c11 = lut[u1, v1]
-    return ((1 - fu) * (1 - fv) * c00 + (1 - fu) * fv * c01
-            + fu * (1 - fv) * c10 + fu * fv * c11)
+    c00 = lut[v0, u0]
+    c01 = lut[v0, u1]
+    c10 = lut[v1, u0]
+    c11 = lut[v1, u1]
+    return ((1 - fv) * (1 - fu) * c00 + (1 - fv) * fu * c01
+            + fv * (1 - fu) * c10 + fv * fu * c11)

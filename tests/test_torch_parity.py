@@ -1,12 +1,15 @@
-"""Numeric parity vs PyTorch replicas of the reference field architectures.
+"""Numeric parity vs the reference field architectures.
 
-The reference networks (``network/field.py``) are rebuilt here in PyTorch
-from their documented spec (weight-normalized linears, softplus beta=100,
-skip concat / sqrt(2), NeRF trunk with post-activation skip), loaded with
-random weights, converted into this framework's parameter pytrees, and the
-forwards (and the SDF input gradient, which the reference computes by double
-backward) are asserted allclose.  This pins layer ordering, the positional
-encoding layout, weight-norm parameterization, and activation constants.
+Two layers of pinning:
+
+1. PyTorch REPLICAS built from the documented spec (kept from round 1 —
+   they document the architecture contract explicitly);
+2. the ACTUAL reference code imported from ``/root/reference`` via
+   ``tests/ref_import.py`` (round 2): ``network/field.py``'s SDFNetwork,
+   NeRFNetwork and the full AppShadingNetwork (both shader configs), the
+   IDE from ``utils/ref_utils.py``, and the shipped FG-LUT asset — weights
+   transferred into our pytrees, forward AND input gradients asserted
+   allclose.
 """
 
 import numpy as np
@@ -195,3 +198,199 @@ def test_predictor_parity():
         ref = tmod(torch.from_numpy(x)).numpy()
     ours = np.asarray(jmod.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+# ===========================================================================
+# Parity against the ACTUAL reference code (/root/reference), not replicas.
+# ===========================================================================
+
+from ref_import import (CudaToCpu, load_reference, predictor_to_jax,
+                        randomize_wn, reference_cwd)
+from ref_import import wn_to_jax as ref_wn_to_jax
+
+
+def test_fg_lut_matches_reference_asset():
+    """Our split-sum preintegration (GGX alpha=r^2 + Smith height-correlated
+    visibility) must reproduce the reference's shipped LUT
+    (assets/bsdf_256_256.bin, sampled by field.py:721)."""
+    from nunerf_tpu.ops.fg_lut import get_fg_lut
+    ref = np.fromfile("/root/reference/assets/bsdf_256_256.bin",
+                      dtype=np.float32).reshape(256, 256, 2)
+    ours = np.asarray(get_fg_lut(256))
+    d = np.abs(ref - ours)
+    assert d.max() < 0.02, d.max()    # MC noise of the two integrators
+    assert d.mean() < 1e-3, d.mean()
+
+
+def test_ide_parity_vs_reference():
+    """ops/ide.py vs the reference generate_ide_fn (utils/ref_utils.py:52-116,
+    complex dtype, CUDA constants) over random directions and kappas."""
+    _, ref_utils = load_reference()
+    from nunerf_tpu.ops.ide import make_ide_fn
+
+    rs = np.random.RandomState(0)
+    dirs = rs.randn(64, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    kappa_inv = (rs.rand(64, 1) ** 2).astype(np.float32)
+
+    with CudaToCpu():
+        fn = ref_utils.generate_ide_fn(5)
+        ref = fn(torch.from_numpy(dirs), torch.from_numpy(kappa_inv)).numpy()
+    ours = np.asarray(make_ide_fn(5)(jnp.asarray(dirs), jnp.asarray(kappa_inv)))
+    # 1e-3: the deg-5 encoding contains (x+iy)^16 Vandermonde terms; our
+    # real multiply-recurrence and the reference's power ladder round
+    # differently in f32 and the error is amplified ~16x at the top degree
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_sdf_parity_vs_reference_code():
+    """Forward + input-gradient parity against the reference's own
+    SDFNetwork (field.py:64-184)."""
+    ref_field, _ = load_reference()
+    with CudaToCpu():
+        tmod = ref_field.SDFNetwork(d_in=3, d_out=257, d_hidden=256,
+                                    n_layers=8, skip_in=(4,), multires=6,
+                                    bias=0.5, scale=1.0)
+    randomize_wn(tmod)
+
+    jmod = SDFNetwork(d_out=257, n_layers=8, skip_in=(4,), multires=6)
+    params = jmod.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+    new = dict(params["params"])
+    for l in range(9):
+        new[f"lin{l}"] = ref_wn_to_jax(getattr(tmod, f"lin{l}"))
+    params = {"params": new}
+
+    x = (np.random.RandomState(1).randn(64, 3) * 0.4).astype(np.float32)
+    with torch.no_grad(), CudaToCpu():
+        ref = tmod(torch.from_numpy(x)).numpy()
+    ours = np.asarray(jmod.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    with CudaToCpu():
+        (gref,) = torch.autograd.grad(tmod(xt)[..., :1].sum(), xt)
+    _, _, gours = sdf_value_feature_grad(jmod.apply, params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gours), gref.numpy(), atol=5e-4)
+
+
+def test_nerf_parity_vs_reference_code():
+    """Forward parity against the reference's own NeRFNetwork in its
+    background configuration (4D input, viewdirs; renderer.py:167-170)."""
+    ref_field, _ = load_reference()
+    with CudaToCpu():
+        tmod = ref_field.NeRFNetwork(D=8, d_in=4, d_in_view=3, W=256,
+                                     multires=10, multires_view=4,
+                                     output_ch=4, skips=[4],
+                                     use_viewdirs=True)
+
+    jmod = NeRFNetwork()
+    params = jmod.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)),
+                       jnp.zeros((1, 3)))
+    new = dict(params["params"])
+
+    def lin2jax(lin):
+        return {"kernel": jnp.asarray(lin.weight.detach().numpy().T),
+                "bias": jnp.asarray(lin.bias.detach().numpy())}
+
+    for i, lin in enumerate(tmod.pts_linears):
+        new[f"pts_{i}"] = lin2jax(lin)
+    new["alpha"] = lin2jax(tmod.alpha_linear)
+    new["feature"] = lin2jax(tmod.feature_linear)
+    new["views_0"] = lin2jax(tmod.views_linears[0])
+    new["rgb"] = lin2jax(tmod.rgb_linear)
+    params = {"params": new}
+
+    rs = np.random.RandomState(2)
+    d = rs.randn(32, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    r = 1.0 + rs.rand(32, 1).astype(np.float32) * 3
+    pts4 = np.concatenate([d, 1.0 / r], -1).astype(np.float32)
+    views = rs.randn(32, 3).astype(np.float32)
+
+    with torch.no_grad(), CudaToCpu():
+        a_ref, c_ref = tmod(torch.from_numpy(pts4), torch.from_numpy(views))
+    a, c = jmod.apply(params, jnp.asarray(pts4), jnp.asarray(views))
+    np.testing.assert_allclose(np.asarray(a), a_ref.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c), c_ref.numpy(), atol=2e-5)
+
+
+def _shading_parity(sphere_direction: bool):
+    ref_field, _ = load_reference()
+    from nunerf_tpu.fields.shading import AppShadingNetwork
+
+    torch.manual_seed(7)  # deterministic weights regardless of test order
+    with CudaToCpu(), reference_cwd():
+        tmod = ref_field.AppShadingNetwork(
+            {"sphere_direction": sphere_direction})
+    randomize_wn(tmod)
+
+    jmod = AppShadingNetwork(sphere_direction=sphere_direction)
+    d3, feats0 = jnp.zeros((1, 3)), jnp.zeros((1, 256))
+    params = jmod.init(jax.random.PRNGKey(0), d3, d3, d3, feats0)
+    mapping = {
+        "metallic": tmod.metallic_predictor,
+        "roughness": tmod.roughness_predictor,
+        "albedo": tmod.albedo_predictor,
+        "outer_light": tmod.outer_light,
+        "inner_light": tmod.inner_light,
+        "inner_weight": tmod.inner_weight,
+        "transmission_weight": tmod.transmisstion_weight,  # sic (field.py:606)
+        # (the reference's vestigial `iors` head is never called by either
+        # implementation; flax materializes no params for it)
+        "refrac_light": tmod.refrac_light,
+    }
+    new = dict(params["params"])
+    assert sorted(new) == sorted(mapping), (sorted(new), sorted(mapping))
+    params = {"params": {k: predictor_to_jax(v) for k, v in mapping.items()}}
+
+    rs = np.random.RandomState(3)
+    pts = (rs.randn(32, 3) * 0.4).astype(np.float32)
+    normals = rs.randn(32, 3).astype(np.float32)
+    views = rs.randn(32, 3).astype(np.float32)
+    feats = rs.randn(32, 256).astype(np.float32)
+
+    tp = torch.from_numpy(pts).requires_grad_(True)
+    tf = torch.from_numpy(feats).requires_grad_(True)
+    with CudaToCpu():
+        c_ref, info_ref = tmod(tp, torch.from_numpy(normals),
+                               torch.from_numpy(views), tf, None)
+        gp_ref, gf_ref = torch.autograd.grad(c_ref.sum(), (tp, tf))
+
+    def fwd(pts_j, feats_j):
+        c, info = jmod.apply(params, pts_j, jnp.asarray(normals),
+                             jnp.asarray(views), feats_j, None)
+        return c, info
+
+    c, info = fwd(jnp.asarray(pts), jnp.asarray(feats))
+    # 2e-3: color passes through exp-activated light heads fed by the IDE,
+    # whose deg-5 terms round differently in f32 (see IDE test above)
+    np.testing.assert_allclose(np.asarray(c), c_ref.detach().numpy(),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(info["occ_prob"]),
+                               info_ref["occ_prob"].detach().numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(info["transmission_weight"]),
+        info_ref["transmission_weight"].detach().numpy(), atol=2e-5)
+
+    gp, gf = jax.grad(
+        lambda p, f: jnp.sum(fwd(p, f)[0]), argnums=(0, 1))(
+        jnp.asarray(pts), jnp.asarray(feats))
+    # 5e-3: d color / d points flows through the IDE rounding difference
+    # and (sphere_direction) the sphere-intersection sqrt, which amplifies
+    # near-tangent configurations
+    np.testing.assert_allclose(np.asarray(gp), gp_ref.numpy(),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gf), gf_ref.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_app_shading_parity_vs_reference_code():
+    """Full AppShadingNetwork forward + gradient parity against the imported
+    reference (field.py:557-783), default shader config."""
+    _shading_parity(sphere_direction=False)
+
+
+def test_app_shading_sphere_direction_parity_vs_reference_code():
+    """Same, with the sphere_direction encoding branch (field.py:641-647)."""
+    _shading_parity(sphere_direction=True)
