@@ -193,23 +193,70 @@ def cmd_eval_geometry(args):
 
 
 def cmd_eval_images(args):
-    """Image evaluation over the test split: PSNR/SSIM per view."""
+    """Full test-split evaluation: render EVERY view of the chosen split
+    and emit a per-view PSNR/SSIM table + means (JSON alongside).
+
+    Reference: the fixed eval split (``configs/synthetic_split_128.pkl`` /
+    blender test frames, dataset/database.py:667-679) evaluated per-view by
+    ``train/train_valid.py:19-53``.
+    """
+    import json
+
     import jax
-    import jax.numpy as jnp
     import numpy as np
     from nunerf_tpu.config import load_cfg
-    from nunerf_tpu.models import build_renderer
-    from nunerf_tpu.train.trainer import Trainer, load_checkpoint
+    from nunerf_tpu.data.database import get_database_split
+    from nunerf_tpu.data.ray_store import build_imgs_info
+    from nunerf_tpu.parallel.mesh import replicate
     from nunerf_tpu.train.metrics import compute_psnr, compute_ssim
+    from nunerf_tpu.train.trainer import Trainer, load_checkpoint
 
     cfg = load_cfg(args.cfg)
     trainer = Trainer(cfg)
-    if args.ckpt:
-        _, params, _, _ = load_checkpoint(args.ckpt)
-        from nunerf_tpu.parallel.mesh import replicate
+    name = cfg["name"]
+    ckpt = args.ckpt or os.path.join("data/model", name, "model_best.ckpt")
+    step = 0
+    if os.path.exists(ckpt):
+        step, params, _, _ = load_checkpoint(ckpt)
         trainer.params = replicate(params, trainer.mesh)
-    psnr = trainer.validate(0, jax.random.PRNGKey(0))
-    print(f"test psnr {psnr:.3f}")
+    else:
+        print(f"WARNING: no checkpoint at {ckpt}; evaluating the init")
+
+    split_db = trainer.database
+    if args.split == "test" and cfg["database_name"].startswith("nerf/"):
+        # blender scenes: the training database keeps every testskip-th test
+        # frame (database.py:612 semantics); full evaluation reloads the
+        # test transforms with no skip (the reference's database_eval role)
+        from nunerf_tpu.data.database import NeRFSyntheticDatabase
+        split_db = NeRFSyntheticDatabase(
+            cfg["database_name"], cfg.get("dataset_dir", "./datasets"),
+            testskip=1)
+        _, test_ids = split_db.train_test_split()
+    else:
+        _, test_ids = get_database_split(split_db, args.split)
+    rng = jax.random.PRNGKey(0)
+    rows = []
+    for vid in test_ids:
+        info = build_imgs_info(split_db, [vid], with_mask=True)
+        outputs, h, w = trainer.render_image(info, step, rng)
+        psnr = float(compute_psnr(outputs["gt_rgb"], outputs["ray_rgb"]))
+        ssim = float(compute_ssim(outputs["gt_rgb"].reshape(h, w, 3),
+                                  outputs["ray_rgb"].reshape(h, w, 3)))
+        rows.append({"view": str(vid), "psnr": psnr, "ssim": ssim})
+        print(f"view {vid:>6}  psnr {psnr:7.3f}  ssim {ssim:.4f}")
+
+    mean_psnr = float(np.mean([r["psnr"] for r in rows]))
+    mean_ssim = float(np.mean([r["ssim"] for r in rows]))
+    print(f"split '{args.split}' ({len(rows)} views)  "
+          f"mean psnr {mean_psnr:.3f}  mean ssim {mean_ssim:.4f}")
+    out_dir = os.path.join("data", "eval", name)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"eval_{args.split}.json")
+    with open(path, "w") as f:
+        json.dump({"step": int(step), "split": args.split, "views": rows,
+                   "mean_psnr": mean_psnr, "mean_ssim": mean_ssim}, f,
+                  indent=1)
+    print(f"wrote {path}")
 
 
 def cmd_render_orbit(args):
@@ -305,6 +352,10 @@ def main(argv=None):
     sp = sub.add_parser("eval-images")
     sp.add_argument("--cfg", required=True)
     sp.add_argument("--ckpt", default=None)
+    sp.add_argument("--split", default="validation",
+                    choices=["validation", "test"],
+                    help="which split to evaluate every view of "
+                         "(reference: dataset/database.py:667-679)")
     sp.set_defaults(fn=cmd_eval_images)
 
     sp = sub.add_parser("render-orbit")

@@ -291,11 +291,15 @@ class Trainer:
         return best_para
 
     # ------------------------------------------------------------------
-    def validate(self, step: int, rng) -> float:
-        """Chunked full-image validation (train/train_valid.py:19-53)."""
+    def render_image(self, info, step: int, rng):
+        """Chunked full-image render of one view's imgs_info.
+
+        Returns (outputs dict incl. gt_rgb, h, w).  Shared by per-step
+        validation and the test-split evaluator (train/train_valid.py:19-53,
+        dataset/database.py:667-679)."""
         cfg = self.renderer.cfg
         ratio = cfg.get("downsample_ratio", 1.0)
-        info = dict(self.val_info)
+        info = dict(info)
         if cfg.get("test_downsample_ratio", True) and ratio != 1.0:
             import cv2
             imgs, Ks = [], []
@@ -340,9 +344,15 @@ class Trainer:
             v = np.concatenate([np.atleast_1d(np.asarray(c[k])) for c in chunks], 0)
             outputs[k] = v[:rn]
         outputs["gt_rgb"] = batch["rgbs"]
+        return outputs, h, w
 
-        psnr = compute_psnr(batch["rgbs"], outputs["ray_rgb"])
-        ssim = compute_ssim(batch["rgbs"].reshape(h, w, 3),
+    def validate(self, step: int, rng) -> float:
+        """Per-step validation on one held-out view (the reference's
+        validation split holds out a single image, database.py:667-674)."""
+        info = {k: v[:1] for k, v in self.val_info.items()}
+        outputs, h, w = self.render_image(info, step, rng)
+        psnr = compute_psnr(outputs["gt_rgb"], outputs["ray_rgb"])
+        ssim = compute_ssim(outputs["gt_rgb"].reshape(h, w, 3),
                             outputs["ray_rgb"].reshape(h, w, 3))
         self.logger.log({"psnr": psnr, "ssim": ssim}, step, prefix="val")
         try:

@@ -185,14 +185,15 @@ def test_fg_lut_properties():
     lut = compute_fg_lut(res=32, n_samples=128)
     assert lut.shape == (32, 32, 2)
     assert np.all(lut >= 0) and np.all(lut <= 1.5)
-    # smooth surface, head-on view: A + B ~ 1 (energy conservation-ish)
-    a, b = lut[-1, 0]  # NoV~1, roughness~0
+    # smooth surface, head-on view: A + B ~ 1 (energy conservation-ish).
+    # Layout: rows = roughness, cols = NoV (the reference asset convention).
+    a, b = lut[0, -1]  # roughness~0, NoV~1
     assert 0.9 < a + b <= 1.05
 
     # bilinear lookup at texel centers returns the texel
     val = fg_lookup(jnp.asarray(lut), jnp.array([[(31 + 0.5) / 32]]),
                     jnp.array([[0.5 / 32]]))
-    np.testing.assert_allclose(val[0], lut[-1, 0], atol=1e-6)
+    np.testing.assert_allclose(val[0], lut[0, -1], atol=1e-6)
 
 
 def test_get_intersection_sphere_sdf():

@@ -81,6 +81,7 @@ def test_database_and_rays(scene_dir):
     assert 0.05 < batch["masks"].mean() < 0.95
 
 
+@pytest.mark.slow  # ~105s CPU compile; test_short_training_decreases_loss drives the same step
 def test_train_forward_and_grads(renderer_and_data):
     from nunerf_tpu.train.loss import compute_losses
 

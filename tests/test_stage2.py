@@ -95,6 +95,7 @@ def test_straight_through_center_ray(stage2_setup):
                                        atol=0.02)
 
 
+@pytest.mark.slow  # ~75s CPU compile; grads-flow test renders the same scene
 def test_render_outputs_finite(stage2_setup):
     renderer, params = stage2_setup
     rays_o, rays_d = _camera_rays(16)

@@ -86,6 +86,7 @@ def test_shell_center_ray_straight(shell_setup):
                                        atol=0.05)
 
 
+@pytest.mark.slow  # ~110s CPU compile; trace geometry + stage-2 grad tests cover the pieces
 def test_shell_render_and_grads(shell_setup):
     from nunerf_tpu.train.loss import compute_losses
 

@@ -112,3 +112,45 @@ def test_golden_steps_deterministic():
 
     l1, l2 = run(), run()
     np.testing.assert_allclose(l1, l2, rtol=1e-6)
+
+
+def test_eval_images_full_test_split(tmp_path, monkeypatch, capsys):
+    """`eval-images --split test` must render EVERY blender test frame
+    (testskip=1 reload) and emit a per-view PSNR/SSIM table + JSON — the
+    reference's fixed-split evaluation (dataset/database.py:667-679), not a
+    1-view validation probe."""
+    import json as _json
+
+    from scene_utils import make_test_scene
+    from nunerf_tpu import cli
+
+    root = tmp_path / "datasets"
+    make_test_scene(str(root / "tiny_eval"), n_train=3, n_test=2, h=16, w=16)
+    cfg = {
+        "name": "tiny_eval", "network": "shape",
+        "database_name": "nerf/tiny_eval", "is_nerf": True,
+        "zero_thickness": True, "get_mask": False,
+        "shader_config": {"sphere_direction": False, "human_light": False},
+        "loss": ["nerf_render", "eikonal", "std"],
+        "key_metric_name": "psnr", "apply_occ_loss": False,
+        "n_samples": 8, "n_bg_samples": 4, "n_importance": 4,
+        "n_front_samples": 4, "n_back_samples": 4,
+        "up_sample_steps": 2, "train_ray_num": 32, "test_ray_num": 64,
+        "anneal_end": 100, "dataset_dir": str(root),
+        "total_step": 1, "val_interval": 10, "save_interval": 10,
+        "model_dir": str(tmp_path / "model"),
+    }
+    import yaml
+    cfg_path = tmp_path / "tiny_eval.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.chdir(tmp_path)
+    cli.main(["eval-images", "--cfg", str(cfg_path), "--split", "test"])
+    out = capsys.readouterr().out
+    assert "mean psnr" in out
+
+    res = _json.loads((tmp_path / "data/eval/tiny_eval/eval_test.json")
+                      .read_text())
+    # make_test_scene writes 2 test frames; testskip must not drop any
+    assert len(res["views"]) == 2
+    assert np.isfinite(res["mean_psnr"]) and np.isfinite(res["mean_ssim"])
