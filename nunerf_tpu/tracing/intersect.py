@@ -104,6 +104,181 @@ def pad_triangles(verts, tris, tile: int = 2048):
     return (v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32))
 
 
+# ---------------------------------------------------------------------------
+# Tile-culled traversal: the TPU-native answer to the reference's 4-wide CUDA
+# BVH (raytracing/src/bvh.cu:255-301 traversal, :526-610 build).  A per-lane
+# stack machine is hostile to the VPU; instead triangles are Morton-sorted
+# into spatially coherent fixed-size tiles with precomputed AABBs, every ray
+# slab-tests all tile AABBs (cheap: ~30 flops/pair), sorts tiles by entry
+# distance, and a lax.while_loop sweeps tiles in nearest-first order, K tiles
+# per round, until no ray's next tile can beat its current best hit.  Work
+# per ray is O(K*T) per round (typically 1-2 rounds) instead of O(total
+# triangles); shapes stay static so XLA tiles everything onto the VPU.
+# Exact: a hit is only accepted over tiles whose entry-t precedes it, so the
+# early exit is conservative (same guarantee as sorted BVH descent).
+# ---------------------------------------------------------------------------
+
+
+class TileIndex(NamedTuple):
+    v0: jnp.ndarray    # [n_tiles, T, 3] tile-grouped triangle origin
+    e1: jnp.ndarray    # [n_tiles, T, 3]
+    e2: jnp.ndarray    # [n_tiles, T, 3]
+    lo: jnp.ndarray    # [n_tiles, 3] tile AABB min (+inf for padding tiles)
+    hi: jnp.ndarray    # [n_tiles, 3] tile AABB max (-inf for padding tiles)
+    perm: jnp.ndarray  # [n_tiles * T] int32: padded slot -> original tri idx
+
+
+def _morton3(q: "np.ndarray") -> "np.ndarray":
+    """Interleave 10-bit x/y/z (q: [N,3] uint32 in [0,1024)) -> 30-bit code."""
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+    return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+
+
+def build_tile_index(verts, tris, tile: int = 128, group: int = 16) -> TileIndex:
+    """Host-side build (construction time only, like the reference's BVH
+    build): Morton-sort triangles by centroid, group into ``tile``-sized
+    tiles, record per-tile AABBs.  Tile count is padded to a multiple of
+    ``group`` with never-hit tiles (lo=+inf)."""
+    import numpy as np
+    verts = np.asarray(verts, np.float32)
+    tris = np.asarray(tris, np.int32)
+    cent = verts[tris].mean(1)
+    lo_all, hi_all = cent.min(0), cent.max(0)
+    scale = np.where(hi_all > lo_all, hi_all - lo_all, 1.0)
+    q = np.clip(((cent - lo_all) / scale * 1023.0), 0, 1023).astype(np.uint32)
+    order = np.argsort(_morton3(q), kind="stable").astype(np.int32)
+
+    n = len(tris)
+    n_tiles = -(-n // tile)
+    n_tiles += (-n_tiles) % group
+    slots = n_tiles * tile
+    perm = np.zeros(slots, np.int32)
+    perm[:n] = order
+
+    tv = verts[tris[order]]                       # [n, 3verts, 3]
+    v0 = np.full((slots, 3), 1e8, np.float32)     # degenerate padding
+    e1 = np.zeros((slots, 3), np.float32)
+    e2 = np.zeros((slots, 3), np.float32)
+    v0[:n] = tv[:, 0]
+    e1[:n] = tv[:, 1] - tv[:, 0]
+    e2[:n] = tv[:, 2] - tv[:, 0]
+
+    vmin = np.full((slots, 3), np.inf, np.float32)
+    vmax = np.full((slots, 3), -np.inf, np.float32)
+    vmin[:n] = tv.min(1)
+    vmax[:n] = tv.max(1)
+    lo = vmin.reshape(n_tiles, tile, 3).min(1)
+    hi = vmax.reshape(n_tiles, tile, 3).max(1)
+
+    return TileIndex(
+        v0=jnp.asarray(v0.reshape(n_tiles, tile, 3)),
+        e1=jnp.asarray(e1.reshape(n_tiles, tile, 3)),
+        e2=jnp.asarray(e2.reshape(n_tiles, tile, 3)),
+        lo=jnp.asarray(lo), hi=jnp.asarray(hi), perm=jnp.asarray(perm))
+
+
+def _mt_per_ray(rays_o, rays_d, v0, e1, e2, eps=1e-9):
+    """Per-ray MT test: rays [R,3] x per-ray candidates [R,C,3] -> t [R,C].
+    Same math (and tolerances) as ``_moller_trumbore_tile``."""
+    pvec = jnp.cross(rays_d[:, None, :], e2)
+    det = jnp.sum(pvec * e1, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    tvec = rays_o[:, None, :] - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(qvec * rays_d[:, None, :], axis=-1) * inv_det
+    t = jnp.sum(qvec * e2, axis=-1) * inv_det
+    tol = 1e-6
+    valid = ((jnp.abs(det) > eps) & (u >= -tol) & (v >= -tol)
+             & (u + v <= 1.0 + tol) & (t > 1e-5))
+    return jnp.where(valid, t, MISS_T)
+
+
+@partial(jax.jit, static_argnames=("group",))
+def ray_mesh_intersect_culled(rays_o, rays_d, index: TileIndex,
+                              group: int = 16) -> Hit:
+    """Closest-hit via nearest-first tile descent (see module comment above).
+
+    Equivalent results to ``ray_mesh_intersect`` (tri_idx may differ where
+    two triangles share the exact same t, e.g. along shared edges)."""
+    rays_o = jax.lax.stop_gradient(rays_o)
+    rays_d = jax.lax.stop_gradient(rays_d)
+    n_tiles, T, _ = index.v0.shape
+    rn = rays_o.shape[0]
+
+    # slab entry-t for every (ray, tile); chunked scan keeps the [R, chunk, 3]
+    # temporaries bounded at mask-render ray counts
+    safe_d = jnp.where(jnp.abs(rays_d) < 1e-12,
+                       jnp.where(rays_d >= 0, 1e-12, -1e-12), rays_d)
+    inv_d = 1.0 / safe_d
+    chunk = min(n_tiles, 512)
+    pad = (-n_tiles) % chunk
+    lo_p, hi_p = index.lo, index.hi
+    if pad:  # pad with never-hit boxes (lo=+inf -> slab test misses)
+        lo_p = jnp.concatenate([lo_p, jnp.full((pad, 3), jnp.inf)], 0)
+        hi_p = jnp.concatenate([hi_p, jnp.full((pad, 3), -jnp.inf)], 0)
+    lo_c = lo_p.reshape(-1, chunk, 3)
+    hi_c = hi_p.reshape(-1, chunk, 3)
+
+    def slab(_, lohis):
+        lo, hi = lohis
+        t0 = (lo[None] - rays_o[:, None, :]) * inv_d[:, None, :]
+        t1 = (hi[None] - rays_o[:, None, :]) * inv_d[:, None, :]
+        tn = jnp.max(jnp.minimum(t0, t1), -1)
+        tf = jnp.min(jnp.maximum(t0, t1), -1)
+        entry = jnp.where(tf >= jnp.maximum(tn, 0.0),
+                          jnp.maximum(tn, 0.0), MISS_T)
+        return None, entry
+
+    _, entry = jax.lax.scan(slab, None, (lo_c, hi_c))   # [n_chunks, R, chunk]
+    entry = jnp.moveaxis(entry, 1, 0).reshape(rn, -1)[:, :n_tiles]
+
+    tile_ids = jnp.broadcast_to(
+        jnp.arange(n_tiles, dtype=jnp.int32)[None], entry.shape)
+    order_entry, order_idx = jax.lax.sort_key_val(entry, tile_ids,
+                                                  dimension=-1)
+    n_groups = n_tiles // group
+
+    def next_entry(g):
+        col = jax.lax.dynamic_slice(order_entry, (0, g * group), (rn, 1))
+        return col[:, 0]
+
+    def cond(st):
+        g, best_t, _ = st
+        return (g < n_groups) & jnp.any(next_entry(jnp.minimum(
+            g, n_groups - 1)) < best_t)
+
+    def body(st):
+        g, best_t, best_i = st
+        tiles = jax.lax.dynamic_slice(order_idx, (0, g * group), (rn, group))
+        tent = jax.lax.dynamic_slice(order_entry, (0, g * group), (rn, group))
+        cand_v0 = index.v0[tiles].reshape(rn, group * T, 3)
+        cand_e1 = index.e1[tiles].reshape(rn, group * T, 3)
+        cand_e2 = index.e2[tiles].reshape(rn, group * T, 3)
+        t = _mt_per_ray(rays_o, rays_d, cand_v0, cand_e1, cand_e2)
+        # a tile whose entry can't beat the current best can't improve —
+        # masking it keeps the early exit conservative AND exact
+        live = tent < best_t[:, None]                       # [R, group]
+        t = jnp.where(jnp.repeat(live, T, axis=1), t, MISS_T)
+        tmin = jnp.min(t, axis=-1)
+        c = jnp.argmin(t, axis=-1).astype(jnp.int32)
+        tile_of = jnp.take_along_axis(tiles, (c // T)[:, None], 1)[:, 0]
+        oid = index.perm[tile_of * T + (c % T)]
+        better = tmin < best_t
+        return (g + 1,
+                jnp.where(better, tmin, best_t),
+                jnp.where(better, oid, best_i))
+
+    init = (jnp.int32(0), jnp.full((rn,), MISS_T), jnp.zeros((rn,), jnp.int32))
+    _, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    return Hit(t=best_t, tri_idx=best_i, hit=best_t < MISS_T * 0.5)
+
+
 def diff_intersect(rays_o, rays_d, tv0, tv1, tv2):
     """Differentiable Möller–Trumbore re-intersection against known triangles
     (one per ray), the reference's gradient-recovery trick

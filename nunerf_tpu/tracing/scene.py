@@ -24,9 +24,11 @@ from nunerf_tpu.ops.geometry import normalize
 from nunerf_tpu.tracing.intersect import (
     MISS_T,
     Hit,
+    build_tile_index,
     diff_intersect,
     pad_triangles,
     ray_mesh_intersect,
+    ray_mesh_intersect_culled,
 )
 from nunerf_tpu.tracing.mesh_ops import load_ply, vertex_normals_curvature
 
@@ -38,7 +40,8 @@ class Scene:
     kernel is kept as the substrate for tile-culled traversal."""
 
     def __init__(self, mesh: Union[str, Tuple[np.ndarray, np.ndarray]],
-                 tile: int = 1024, use_pallas: bool = False):
+                 tile: int = 1024, use_pallas: bool = False,
+                 cull_threshold: int = None):
         if isinstance(mesh, str):
             verts, tris = load_ply(mesh)
         else:
@@ -48,6 +51,16 @@ class Scene:
         normals, curvature = vertex_normals_curvature(self.verts_np, self.tris_np)
         self.tile = tile
         self.use_pallas = use_pallas
+        # above this triangle count, closest-hit switches from the brute
+        # Möller–Trumbore sweep to nearest-first tile-culled descent (the
+        # BVH stand-in; bvh.cu:255-301) — brute force wins below it because
+        # the slab-test/sort preamble isn't free
+        if cull_threshold is None:
+            import os
+            cull_threshold = int(os.environ.get("NUNERF_CULL_TRIS", 32768))
+        self.tile_index = None
+        if not use_pallas and len(self.tris_np) >= cull_threshold:
+            self.tile_index = build_tile_index(self.verts_np, self.tris_np)
 
         pad_to = tile
         if use_pallas:
@@ -73,6 +86,8 @@ class Scene:
                 jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d),
                 self.v0, self.e1, self.e2, interpret=interpret)
             return Hit(t=t, tri_idx=idx, hit=hit)
+        if self.tile_index is not None:
+            return ray_mesh_intersect_culled(rays_o, rays_d, self.tile_index)
         return ray_mesh_intersect(rays_o, rays_d, self.v0, self.e1, self.e2,
                                   tile=self.tile)
 

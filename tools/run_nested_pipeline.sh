@@ -1,0 +1,43 @@
+#!/bin/bash
+# End-to-end nested-glass pipeline (docs/nested_walkthrough.md).
+# Usage:
+#   tools/run_nested_pipeline.sh front              # synth + stage-1 + outer mesh + score
+#   tools/run_nested_pipeline.sh stage2 <timeout_s> # train stage-2 (resumes), then
+#                                                   # extract+postprocess+score inner mesh
+# stage2 is resumable: run it again with another time budget and it picks up
+# from the latest checkpoint (trainer saves every save_interval=2000 steps),
+# re-extracting and re-scoring at every pause point.
+set -x
+cd "$(dirname "$0")/.."
+mkdir -p runs
+
+front() {
+  python -m nunerf_tpu.cli synth-scene --output ./datasets/nested
+  echo "=== stage-1 train ==="
+  python -m nunerf_tpu.cli train --cfg configs/shape/nerf/nested.yaml
+  echo "=== extract outer mesh ==="
+  python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/nerf/nested.yaml --resolution 512
+  echo "=== eval outer geometry ==="
+  python -m nunerf_tpu.cli eval-geometry \
+      --mesh data/meshes/nested-30000_simplified.ply --gt datasets/nested/gt_outer.npy
+}
+
+stage2() {
+  local budget="${1:?usage: stage2 <timeout_s>}"
+  echo "=== stage-2 train (budget ${budget}s) ==="
+  timeout "$budget" python -m nunerf_tpu.cli train --cfg configs/stage2/nerf/nested.yaml
+  echo "=== extract inner mesh (latest ckpt) ==="
+  python -m nunerf_tpu.cli extract-mesh-stage2 --cfg configs/stage2/nerf/nested.yaml --resolution 256
+  local inner
+  inner=$(ls -t data/meshes/nested_s2-*-inner.ply | head -1)
+  python -m nunerf_tpu.cli postprocess-stage2 \
+      --input "$inner" --outer data/meshes/nested-30000_simplified.ply
+  echo "=== eval inner geometry ==="
+  python -m nunerf_tpu.cli eval-geometry \
+      --mesh "${inner%.ply}_post.ply" --gt datasets/nested/gt_inner.npy
+  echo "=== stage-2 test-split eval ==="
+  python -m nunerf_tpu.cli eval-images --cfg configs/stage2/nerf/nested.yaml
+}
+
+"$@"
+echo "PIPELINE LEG EXIT:$?"
