@@ -302,7 +302,8 @@ def cmd_synth_scene(args):
     data needed; the reference's scenes live on an external drive link)."""
     from nunerf_tpu.tools.synth_nested import make_nested_scene
     root = make_nested_scene(args.output, n_train=args.n_train,
-                             n_test=args.n_test, h=args.size, w=args.size)
+                             n_test=args.n_test, h=args.size, w=args.size,
+                             shell=args.shell)
     print(f"wrote nested-glass scene to {root}")
 
 
@@ -374,6 +375,8 @@ def main(argv=None):
     sp.add_argument("--n-train", type=int, default=48)
     sp.add_argument("--n-test", type=int, default=8)
     sp.add_argument("--size", type=int, default=128)
+    sp.add_argument("--shell", action="store_true",
+                    help="hollow-glass (thick shell) variant")
     sp.set_defaults(fn=cmd_synth_scene)
 
     sp = sub.add_parser("relight")

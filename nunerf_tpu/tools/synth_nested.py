@@ -34,6 +34,12 @@ import numpy as np
 
 R_OUTER = 0.5
 IOR = 1.5
+# thick-shell variant: hollow glass shell of thickness SHELL_TAU with an air
+# core.  The reference's thickness map saturates at 0.01 world units
+# (renderer.py:1741 ``x*0.01`` with sigmoid x), so the GT shell must sit
+# inside that range; 0.008 -> thickness-net target 0.8, IoR-net target 0.9
+# (eta = 1/(x+0.6), renderer.py:1727).
+SHELL_TAU = 0.008
 INNER_SPHERES = (
     # (center, radius, base color)
     (np.array([0.02, 0.0, -0.10]), 0.24, np.array([0.75, 0.25, 0.15])),
@@ -194,6 +200,92 @@ def trace_rays(o: np.ndarray, d: np.ndarray):
     return np.clip(color, 0.0, 1.0), hit
 
 
+def trace_rays_hollow(o: np.ndarray, d: np.ndarray, tau: float = SHELL_TAU):
+    """Path-trace through a HOLLOW glass sphere (shell thickness ``tau``,
+    air core) — analytic ground truth for the curvature-shell stage-2 mode
+    (models/stage2_shell.py; reference renderer.py:1610-2009).
+
+    Per ray the dominant transmission chain is traced exactly through the
+    four interfaces (outer entry, inner-shell entry, inner-shell far side,
+    outer exit) with exact Fresnel weights; every split's reflected residual
+    terminates into the environment along its reflected direction (the
+    shell renderer itself only models the transmission chain and masks TIR
+    lanes out of the loss, so sub-branch truncation is invisible to it).
+    Grazing rays whose refracted chord misses the air core traverse the
+    shell and exit on the far side.  Returns (rgb, outer_hit_mask).
+    """
+    zeros = np.zeros(3)
+    r_in = R_OUTER - tau
+    t1 = _sphere_hit(o, d, zeros, R_OUTER)
+    hit = np.isfinite(t1)
+    t_safe = np.where(hit, t1, 0.0)
+
+    p1 = o + t_safe[..., None] * d
+    n1 = p1 / R_OUTER
+    cos1 = np.clip(-np.sum(d * n1, -1, keepdims=True), 0.0, 1.0)
+    F1 = _fresnel(cos1[..., 0], 1.0, IOR)[..., None]
+    col = F1 * env_color(d + 2.0 * cos1 * n1)
+    w = 1.0 - F1
+    d1, _ = _refract(d, n1, 1.0 / IOR)
+    pos = p1 + 1e-6 * d1
+
+    # inner-shell entry (glass -> air core), or grazing chord through the shell
+    t2 = _sphere_hit(pos, d1, zeros, r_in)
+    chord = ~np.isfinite(t2)
+
+    # --- chord branch: exit the outer sphere on the far side of the shell
+    t2b = _sphere_hit(pos, d1, zeros, R_OUTER)
+    p2b = pos + np.where(np.isfinite(t2b), t2b, 0.0)[..., None] * d1
+    n2b = p2b / R_OUTER
+    cos2b = np.clip(np.sum(d1 * n2b, -1, keepdims=True), 0.0, 1.0)
+    F2b = _fresnel(cos2b[..., 0], IOR, 1.0)[..., None]
+    dout_b, _ = _refract(d1, -n2b, IOR)
+    refl_b = d1 - 2.0 * cos2b * n2b
+    col_chord = col + w * ((1.0 - F2b) * env_color(dout_b)
+                           + F2b * env_color(refl_b))
+
+    # --- core branch: refract into the air core
+    p2 = pos + np.where(np.isfinite(t2), t2, 0.0)[..., None] * d1
+    n2 = p2 / r_in
+    cos2 = np.clip(-np.sum(d1 * n2, -1, keepdims=True), 0.0, 1.0)
+    F2 = _fresnel(cos2[..., 0], IOR, 1.0)[..., None]  # ==1 on TIR
+    col = col + w * F2 * env_color(d1 + 2.0 * cos2 * n2)
+    w = w * (1.0 - F2)
+    d2, _ = _refract(d1, n2, IOR)
+    pos2 = p2 + 1e-6 * d2
+
+    # air core: the inner object, else cross to the far inner-shell wall
+    ti, ni, alb = _inner_hit(pos2, d2)
+    t3 = _sphere_hit(pos2, d2, zeros, r_in)
+    hits_inner = (ti < t3)[..., None]
+    pi = pos2 + np.where(np.isfinite(ti), ti, 0.0)[..., None] * d2
+    col = col + w * np.where(hits_inner, _shade_inner(pi, ni, alb), 0.0)
+    w = np.where(hits_inner, 0.0, w)
+
+    # far inner-shell wall (air -> glass; never TIR)
+    p3 = pos2 + np.where(np.isfinite(t3), t3, 0.0)[..., None] * d2
+    n3 = -p3 / r_in  # opposes the outgoing ray
+    cos3 = np.clip(-np.sum(d2 * n3, -1, keepdims=True), 0.0, 1.0)
+    F3 = _fresnel(cos3[..., 0], 1.0, IOR)[..., None]
+    col = col + w * F3 * env_color(d2 + 2.0 * cos3 * n3)
+    w = w * (1.0 - F3)
+    d3, _ = _refract(d2, n3, 1.0 / IOR)
+
+    # outer sphere from inside (glass -> air)
+    t4 = _sphere_hit(p3 + 1e-6 * d3, d3, zeros, R_OUTER)
+    p4 = p3 + 1e-6 * d3 + np.where(np.isfinite(t4), t4, 0.0)[..., None] * d3
+    n4 = p4 / R_OUTER
+    cos4 = np.clip(np.sum(d3 * n4, -1, keepdims=True), 0.0, 1.0)
+    F4 = _fresnel(cos4[..., 0], IOR, 1.0)[..., None]
+    d4, _ = _refract(d3, -n4, IOR)
+    refl4 = d3 - 2.0 * cos4 * n4
+    col = col + w * ((1.0 - F4) * env_color(d4) + F4 * env_color(refl4))
+
+    col = np.where(chord[..., None], col_chord, col)
+    col = np.where(hit[..., None], col, env_color(d))
+    return np.clip(col, 0.0, 1.0), hit
+
+
 def _look_at(cam_pos: np.ndarray) -> np.ndarray:
     forward = -cam_pos / np.linalg.norm(cam_pos)
     z_axis = -forward
@@ -208,7 +300,7 @@ def _look_at(cam_pos: np.ndarray) -> np.ndarray:
     return c2w
 
 
-def render_view(c2w: np.ndarray, h: int, w: int, focal: float):
+def render_view(c2w: np.ndarray, h: int, w: int, focal: float, tracer=None):
     i, j = np.meshgrid(np.arange(w, dtype=np.float64),
                        np.arange(h, dtype=np.float64))
     dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal,
@@ -217,7 +309,7 @@ def render_view(c2w: np.ndarray, h: int, w: int, focal: float):
     d = dirs @ R.T
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     o = np.broadcast_to(o, d.shape)
-    rgb, hit = trace_rays(o.reshape(-1, 3), d.reshape(-1, 3))
+    rgb, hit = (tracer or trace_rays)(o.reshape(-1, 3), d.reshape(-1, 3))
     rgba = np.concatenate([rgb.reshape(h, w, 3),
                            hit.reshape(h, w, 1).astype(np.float64)], -1)
     # round, don't truncate: truncation would bias every pixel ~0.5/255 dark
@@ -254,10 +346,15 @@ def gt_surface_points(n: int = 20000, seed: int = 0):
 
 def make_nested_scene(root: str, n_train: int = 80, n_test: int = 8,
                       h: int = 128, w: int = 128, cam_dist: float = 2.2,
-                      camera_angle_x: float = 0.65):
-    """Write the blender-format dataset + GT surface samples under ``root``."""
+                      camera_angle_x: float = 0.65, shell: bool = False):
+    """Write the blender-format dataset + GT surface samples under ``root``.
+
+    ``shell=True`` renders the hollow-glass variant (``trace_rays_hollow``)
+    and records the GT shell parameters in ``meta.json`` so shell-mode
+    training can be scored against them."""
     import cv2
 
+    tracer = trace_rays_hollow if shell else trace_rays
     os.makedirs(root, exist_ok=True)
     focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
     for split, n in (("train", n_train), ("test", n_test)):
@@ -273,7 +370,7 @@ def make_nested_scene(root: str, n_train: int = 80, n_test: int = 8,
                 np.cos(phi) * np.cos(elev), np.sin(phi) * np.cos(elev),
                 np.sin(elev)])
             c2w = _look_at(pos)
-            rgba = render_view(c2w, h, w, focal)
+            rgba = render_view(c2w, h, w, focal, tracer=tracer)
             fp = f"./{split}/r_{k}"
             cv2.imwrite(os.path.join(root, f"{split}/r_{k}.png"),
                         rgba[..., [2, 1, 0, 3]])
@@ -284,4 +381,10 @@ def make_nested_scene(root: str, n_train: int = 80, n_test: int = 8,
     outer, inner = gt_surface_points()
     np.save(os.path.join(root, "gt_outer.npy"), outer)
     np.save(os.path.join(root, "gt_inner.npy"), inner)
+    meta = {"mode": "shell" if shell else "solid", "ior": IOR,
+            "r_outer": R_OUTER}
+    if shell:
+        meta["tau"] = SHELL_TAU
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
     return root

@@ -39,5 +39,32 @@ stage2() {
   python -m nunerf_tpu.cli eval-images --cfg configs/stage2/nerf/nested.yaml
 }
 
+shell_front() {
+  # hollow-glass variant: stage-1 + outer mesh (shorter schedule)
+  python -m nunerf_tpu.cli synth-scene --output ./datasets/nested_shell --shell
+  echo "=== shell stage-1 train ==="
+  python -m nunerf_tpu.cli train --cfg configs/shape/nerf/nested_shell.yaml
+  echo "=== shell extract outer mesh ==="
+  python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/nerf/nested_shell.yaml --resolution 384
+  python -m nunerf_tpu.cli eval-geometry \
+      --mesh data/meshes/nested_shell-20000_simplified.ply --gt datasets/nested_shell/gt_outer.npy
+}
+
+shell_stage2() {
+  local budget="${1:?usage: shell_stage2 <timeout_s>}"
+  echo "=== shell stage-2 train (budget ${budget}s) ==="
+  timeout "$budget" python -m nunerf_tpu.cli train --cfg configs/stage2/nerf/nested_shell.yaml
+  echo "=== learned IoR/thickness vs GT + inner mesh ==="
+  python tools/eval_shell.py --cfg configs/stage2/nerf/nested_shell.yaml \
+      --meta datasets/nested_shell/meta.json
+  python -m nunerf_tpu.cli extract-mesh-stage2 --cfg configs/stage2/nerf/nested_shell.yaml --resolution 256
+  local inner
+  inner=$(ls -t data/meshes/nested_shell_s2-*-inner.ply | head -1)
+  python -m nunerf_tpu.cli postprocess-stage2 \
+      --input "$inner" --outer data/meshes/nested_shell-20000_simplified.ply
+  python -m nunerf_tpu.cli eval-geometry \
+      --mesh "${inner%.ply}_post.ply" --gt datasets/nested_shell/gt_inner.npy
+}
+
 "$@"
 echo "PIPELINE LEG EXIT:$?"
