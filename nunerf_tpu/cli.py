@@ -239,9 +239,14 @@ def cmd_eval_images(args):
     for vid in test_ids:
         info = build_imgs_info(split_db, [vid], with_mask=True)
         outputs, h, w = trainer.render_image(info, step, rng)
-        psnr = float(compute_psnr(outputs["gt_rgb"], outputs["ray_rgb"]))
-        ssim = float(compute_ssim(outputs["gt_rgb"].reshape(h, w, 3),
-                                  outputs["ray_rgb"].reshape(h, w, 3)))
+        gt, pr = outputs["gt_rgb"], outputs["ray_rgb"]
+        if "tir_mask" in outputs:
+            # stage-2 scores TIR-masked pixels out of both images
+            # (reference test_step, renderer_zerothick.py:1248-1250)
+            tm = outputs["tir_mask"].reshape(-1, 1)
+            gt, pr = gt * tm, pr * tm
+        psnr = float(compute_psnr(gt, pr))
+        ssim = float(compute_ssim(gt.reshape(h, w, 3), pr.reshape(h, w, 3)))
         rows.append({"view": str(vid), "psnr": psnr, "ssim": ssim})
         print(f"view {vid:>6}  psnr {psnr:7.3f}  ssim {ssim:.4f}")
 

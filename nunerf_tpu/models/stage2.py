@@ -52,6 +52,8 @@ ZERO_THICK_DEFAULTS = dict(
     n_samples_outer=256,      # outside segments (renderer_zerothick.py:1729)
     n_bg_importance=64,       # importance samples on miss (:1799)
     bg_z_max=64.0,            # coarse background range [0.1, 64] (:1767)
+    bg_tail_samples=32,       # stage-1's n_bg_samples (renderer.py:126)
+    bg_near0=0.8,             # stage-1's nerf-convention near (renderer.py:389)
     n_samples_inner=64,       # inside-glass base samples (:1734)
     inner_up_rounds=2,        # NeuS upsample rounds (:1752)
     inner_up_each=32,
@@ -216,9 +218,37 @@ class Stage2Renderer:
         return bounces, ~tir_bad
 
     # ----- per-segment sampling ----------------------------------------
-    def _sample_outer_segment(self, params, b, rng):
-        """Outside segment (k != 1): uniform-to-hit on hit lanes; coarse +
-        stage-1-NeRF-importance background on miss (:1727-1799)."""
+    def _stage1_bg_z(self, n_total: int, near: float):
+        """Stage-1's exact background z-law from a segment origin: linear
+        [near, far] then the inverse-depth tail stage-1 trained its NeRF++
+        on (z = far/flip(linspace(1e-3, 1-1/(n_bg+1))) + 1/n_bg,
+        stage1.sample_ray / renderer.py:585-625, far = 4.5 for the nerf
+        convention, renderer.py:389).  The frozen background's radiance mass
+        lives exactly where stage-1's sampling put it; any other law
+        mis-integrates the frozen field and starves escaped rays."""
+        cfg = self.cfg
+        far = cfg["seg_far"]
+        n_tail = min(cfg["bg_tail_samples"], n_total // 2)
+        n_near = n_total - n_tail
+        z_near = jnp.linspace(near, far, n_near)
+        t = jnp.linspace(1e-3, 1.0 - 1.0 / (n_tail + 1.0), n_tail)
+        z_tail = far / jnp.flip(t) + 1.0 / n_tail
+        return jnp.concatenate([z_near, z_tail], -1)  # ascending [n_near+n_tail]
+
+    def _sample_outer_segment(self, params, b, rng, seg_index: int = 0):
+        """Outside segment (k != 1): uniform-to-hit on hit lanes; on miss,
+        background samples along the escaped ray.
+
+        Miss-lane law (cfg bg_sampling):
+          'stage1_exact' (default): stage-1's own z-law (see _stage1_bg_z);
+            escaped lanes then reproduce the frozen background EXACTLY as
+            stage-1 rendered it (the fill/compositing half lives in
+            ``render``).  No importance round needed — stage-1's law is
+            deterministic — which also drops a full density sweep.
+          'stage1': round-1 heuristic law + frozen-NeRF importance round.
+          'linear64': the reference law, linspace(0.1, 64) + importance
+            (renderer_zerothick.py:1764-1799), for exact parity runs.
+        """
         cfg = self.cfg
         n = cfg["n_samples_outer"]
         n_imp = cfg["n_bg_importance"]
@@ -229,23 +259,20 @@ class Stage2Renderer:
         z_hit = jnp.linspace(0.0, 1.0, n)[None, :, None]
         pts_hit = start[:, None, :] + (end_hit - start)[:, None, :] * z_hit
 
-        # miss branch: coarse z + one importance round from the frozen
-        # stage-1 background nerf weights.  Density-only fast path
-        # (NeRFNetwork.density, field.py:293-305): the color head isn't needed
-        # for sampling weights — saves ~40% of the background evals.
-        #
-        # Coarse law (cfg bg_sampling):
-        #   'stage1' (default): linear [0.1, 4.5] + the inverse-depth tail
-        #     stage-1 trained its NeRF++ on (z = far/flip(linspace), reaching
-        #     r ~ 4500, renderer.py:177).  The frozen background's radiance
-        #     mass lives wherever stage-1 PUT it — often beyond r=64 — so the
-        #     reference's law leaves escaped/through-glass rays radiance-
-        #     starved, and the inner SDF grows floaters to paint the bright
-        #     environment.
-        #   'linear64': the reference law, linspace(0.1, 64)
-        #     (renderer_zerothick.py:1764-1767), for exact parity runs.
+        mode = cfg.get("bg_sampling", "stage1_exact")
+        if mode == "stage1_exact":
+            # bounce-0 miss lanes ARE stage-1 rays: reuse stage-1's near.
+            near = cfg["bg_near0"] if seg_index == 0 else 1e-3
+            z_miss = self._stage1_bg_z(n, near)
+            z_miss = jnp.broadcast_to(z_miss[None, :], (rn, n))
+            pts_miss = start[:, None, :] + direc[:, None, :] * z_miss[..., None]
+            return jnp.where(b["hit"][:, None, None], pts_hit, pts_miss)
+
+        # importance-sampled laws: coarse z + one round from the frozen
+        # stage-1 background nerf weights (density-only fast path,
+        # NeRFNetwork.density, field.py:293-305).
         n_coarse = n - n_imp
-        if cfg.get("bg_sampling", "stage1") == "stage1":
+        if mode == "stage1":
             n_tail = n_coarse // 3
             n_near = n_coarse - n_tail
             z_near = jnp.linspace(0.1, 4.5, n_near)
@@ -391,12 +418,24 @@ class Stage2Renderer:
         grad_err = jnp.zeros(())
         std_out = jnp.zeros(())
 
+        # escaped lanes (active but no interface ahead) terminate at infinity:
+        # for is_nerf scenes stage-1 closed every ray with a white (1-acc)
+        # fill (stage1.render_core / renderer.py:843 ``color + (1-acc)``).
+        # The reference's stage-2 drops that fill (its ``infinity_bkgr``
+        # branch is commented out, renderer_zerothick.py:1959) so escaped and
+        # through-glass rays are radiance-starved and the trainable inner SDF
+        # grows bright shells to compensate.  We restore it (cfg
+        # bg_infinity_fill, default on for is_nerf).
+        infinity_fill = bool(cfg.get("bg_infinity_fill",
+                                     cfg.get("is_nerf", False)))
+
         rngs = jax.random.split(rng, len(bounces))
         for i, b in enumerate(bounces):
             if i == 1:
                 pts = self._sample_inner_segment(params, b, rngs[i])
             else:
-                pts = self._sample_outer_segment(params, b, rngs[i])
+                pts = self._sample_outer_segment(params, b, rngs[i],
+                                                 seg_index=i)
             # volume samples exclude the interface endpoint (:1866-1871)
             pn = pts[:, :-1, :]
             n_s = pn.shape[1]
@@ -432,11 +471,33 @@ class Stage2Renderer:
                 alpha = jnp.where(outer, alpha_nerf, 0.0)
                 scolor = color_nerf
 
+            escape = (b["active"] & ~b["hit"])[:, None]
             alpha = alpha.reshape(rn, n_s)
-            scolor = srgb_to_linear(scolor.reshape(rn, n_s, 3))
             weights = alpha_to_weights(alpha)
-            seg_color = jnp.sum(scolor * weights[..., None], axis=1)
+            if i == 1:
+                # trainable inner segment: linear-space compositing, as the
+                # reference does (renderer_zerothick.py:1948-1952)
+                scolor = srgb_to_linear(scolor.reshape(rn, n_s, 3))
+                seg_color = jnp.sum(scolor * weights[..., None], axis=1)
+                if infinity_fill:
+                    acc_seg = jnp.sum(weights, axis=-1, keepdims=True)
+                    seg_color = seg_color + (1.0 - acc_seg) * escape
+            else:
+                # frozen background segments: composite in sRGB space —
+                # stage-1's convention (stage1.render_core:434) — then add
+                # the is_nerf white fill on escaped lanes, so an escaped
+                # lane renders the frozen field EXACTLY as stage-1 did.
+                scolor = scolor.reshape(rn, n_s, 3)
+                seg_srgb = jnp.sum(scolor * weights[..., None], axis=1)
+                if infinity_fill:
+                    acc_seg = jnp.sum(weights, axis=-1, keepdims=True)
+                    seg_srgb = seg_srgb + (1.0 - acc_seg) * escape
+                seg_color = srgb_to_linear(seg_srgb)
             seg_T = jnp.prod(1.0 - alpha + 1e-7, axis=-1, keepdims=True)
+            # an escaped lane's radiance is fully accounted (fill): nothing
+            # behind it may leak through
+            if infinity_fill:
+                seg_T = jnp.where(escape, 0.0, seg_T)
 
             act = b["active"][:, None]
             total_color = total_color + seg_color * current_T * act

@@ -213,9 +213,11 @@ class Stage2ShellRenderer(Stage2Renderer):
         return bounces, ~tir_bad
 
     # ------------------------------------------------------------------
-    def _sample_outer_segment(self, params, b, rng):
-        """64 uniform to the hit; inverse-depth background on miss
-        (renderer.py:2067-2121)."""
+    def _sample_outer_segment(self, params, b, rng, seg_index: int = 0):
+        """64 uniform to the hit; on miss, stage-1's exact background law
+        (default — see Stage2Renderer._stage1_bg_z) or the reference's
+        inverse-depth law (cfg bg_sampling: 'inverse',
+        renderer.py:2067-2121)."""
         cfg = self.cfg
         n = cfg["n_samples_outer"]
         start, direc = b["start"], b["dir"]
@@ -224,8 +226,12 @@ class Stage2ShellRenderer(Stage2Renderer):
         z_frac = jnp.linspace(0.0, 1.0, n)[None, :, None]
         pts_hit = start[:, None, :] + (end_hit - start)[:, None, :] * z_frac
 
-        z_out = jnp.linspace(1e-3, 1.0 - 1.0 / (n + 1.0), n)
-        z_out = 1.0 / jnp.flip(z_out) + 1.0 / n  # inverse depth (:2114)
+        if cfg.get("bg_sampling", "stage1_exact") == "stage1_exact":
+            near = cfg["bg_near0"] if seg_index == 0 else 1e-3
+            z_out = self._stage1_bg_z(n, near)
+        else:
+            z_out = jnp.linspace(1e-3, 1.0 - 1.0 / (n + 1.0), n)
+            z_out = 1.0 / jnp.flip(z_out) + 1.0 / n  # inverse depth (:2114)
         pts_miss = start[:, None, :] + direc[:, None, :] * z_out[None, :, None]
 
         return jnp.where(b["hit"][:, None, None], pts_hit, pts_miss)

@@ -351,9 +351,14 @@ class Trainer:
         validation split holds out a single image, database.py:667-674)."""
         info = {k: v[:1] for k, v in self.val_info.items()}
         outputs, h, w = self.render_image(info, step, rng)
-        psnr = compute_psnr(outputs["gt_rgb"], outputs["ray_rgb"])
-        ssim = compute_ssim(outputs["gt_rgb"].reshape(h, w, 3),
-                            outputs["ray_rgb"].reshape(h, w, 3))
+        gt, pr = outputs["gt_rgb"], outputs["ray_rgb"]
+        if "tir_mask" in outputs:
+            # stage-2 scores TIR-masked pixels out of both images
+            # (reference test_step, renderer_zerothick.py:1248-1250)
+            tm = outputs["tir_mask"].reshape(-1, 1)
+            gt, pr = gt * tm, pr * tm
+        psnr = compute_psnr(gt, pr)
+        ssim = compute_ssim(gt.reshape(h, w, 3), pr.reshape(h, w, 3))
         self.logger.log({"psnr": psnr, "ssim": ssim}, step, prefix="val")
         try:
             dump_validation_images(outputs, h, w,

@@ -173,6 +173,28 @@ def test_ray_trace_survives_saved_remeshed_mesh(tmp_path, stage2_setup):
     assert hit1 >= 0.9 * int(np.asarray(bounces[0]["conv"]).sum())
 
 
+def test_escaped_rays_get_stage1_white_fill(stage2_setup, monkeypatch):
+    """is_nerf scenes: stage-1 closes every ray with a white (1-acc) fill
+    (stage1.render_core, renderer.py:843); escaped stage-2 lanes must render
+    the frozen background under the SAME convention or every through-glass /
+    miss ray is radiance-starved (the reference drops the fill — its
+    infinity_bkgr branch is commented out, renderer_zerothick.py:1959 — and
+    the trainable inner SDF grows bright shells to compensate).  With a
+    zero-density background, an escaped lane must come out pure white."""
+    renderer, params = stage2_setup
+
+    def zero_density(params_, points, dists, dirs):
+        return jnp.zeros(points.shape[0]), jnp.full((points.shape[0], 3), 0.3)
+
+    monkeypatch.setattr(renderer, "_density_alpha", zero_density)
+    # rays that miss the glass mesh entirely
+    o = jnp.tile(jnp.array([[0.0, 2.0, -2.5]]), (4, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+    out = renderer.render(params, o, d, jax.random.PRNGKey(0),
+                          jnp.asarray(10, jnp.int32))
+    np.testing.assert_allclose(np.asarray(out["ray_rgb"]), 1.0, atol=1e-4)
+
+
 def test_bg_sampling_reaches_stage1_tail(stage2_setup):
     """The miss-branch background sampling must reach the far radii stage-1
     trained its NeRF++ on (inverse-depth tail to r ~ 4500); the reference's
