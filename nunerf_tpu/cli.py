@@ -305,10 +305,15 @@ def cmd_render_orbit(args):
 def cmd_synth_scene(args):
     """Generate the synthetic nested-glass validation scene (no external
     data needed; the reference's scenes live on an external drive link)."""
-    from nunerf_tpu.tools.synth_nested import make_nested_scene
-    root = make_nested_scene(args.output, n_train=args.n_train,
-                             n_test=args.n_test, h=args.size, w=args.size,
-                             shell=args.shell)
+    if args.colmap:
+        from nunerf_tpu.tools.synth_nested import make_colmap_scene
+        root = make_colmap_scene(args.output, n_views=args.n_train,
+                                 shell=args.shell)
+    else:
+        from nunerf_tpu.tools.synth_nested import make_nested_scene
+        root = make_nested_scene(args.output, n_train=args.n_train,
+                                 n_test=args.n_test, h=args.size, w=args.size,
+                                 shell=args.shell)
     print(f"wrote nested-glass scene to {root}")
 
 
@@ -382,6 +387,9 @@ def main(argv=None):
     sp.add_argument("--size", type=int, default=128)
     sp.add_argument("--shell", action="store_true",
                     help="hollow-glass (thick shell) variant")
+    sp.add_argument("--colmap", action="store_true",
+                    help="capture-style layout: COLMAP model + full frames "
+                         "+ object point cloud (CustomDatabase, real path)")
     sp.set_defaults(fn=cmd_synth_scene)
 
     sp = sub.add_parser("relight")

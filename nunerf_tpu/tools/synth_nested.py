@@ -344,6 +344,140 @@ def gt_surface_points(n: int = 20000, seed: int = 0):
     return outer.astype(np.float32), inner.astype(np.float32)
 
 
+def make_colmap_scene(root: str, n_views: int = 56, h: int = 200,
+                      w: int = 264, cam_dist: float = 2.2,
+                      shell: bool = True, fov_x: float = 0.65):
+    """Write a synthetic *capture-style* scene in the real-pipeline layout
+    (reference ``dataset/database.py:380-539`` CustomDatabase):
+
+        root/images/<k>.png          full frames (env background, no alpha)
+        root/colmap/sparse/0         COLMAP binary model (our own writer)
+        root/object_point_cloud.ply  "COLMAP features" on the object + noise
+        root/meta_info.txt           up / forward rows
+
+    The scene lives in an arbitrary *capture frame* (random-ish rotation,
+    scale and offset of the canonical nested-glass world), so the database's
+    whole normalization path — up/forward alignment, object-cloud centering
+    and scaling, crop-by-projected-points — does real work, exactly as on a
+    COLMAP reconstruction of a phone capture.  Ground-truth surface samples
+    are written **in the normalized database frame** (the frame extracted
+    meshes live in) by replaying the same normalization math.
+    """
+    import cv2
+
+    from nunerf_tpu.data.colmap import (Camera, Image, rotmat_to_qvec,
+                                        write_model)
+    from nunerf_tpu.data.database import write_ply_points
+
+    # normalization rescales the world by ~1.6 (see norm_scale below); the
+    # reference thickness map saturates at 0.01 *normalized* units
+    # (renderer.py:1741), so the capture-frame GT shell must be thinner than
+    # the blender-format scene's SHELL_TAU for its normalized image to stay
+    # on the map: 0.005 canonical -> ~0.008 normalized (net target x=0.8).
+    tau_canon = 0.005
+    if shell:
+        def tracer(o, d):
+            return trace_rays_hollow(o, d, tau=tau_canon)
+    else:
+        tracer = trace_rays
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+
+    # capture frame: x_cap = S * R_w @ x_canon + C
+    S, C = 2.4, np.array([1.3, -0.7, 0.9])
+    ang = 0.35
+    Rx = np.array([[1, 0, 0],
+                   [0, np.cos(ang), -np.sin(ang)],
+                   [0, np.sin(ang), np.cos(ang)]])
+    Rz = np.array([[np.cos(0.6), -np.sin(0.6), 0],
+                   [np.sin(0.6), np.cos(0.6), 0],
+                   [0, 0, 1]])
+    R_w = Rz @ Rx
+    up_cap = R_w @ np.array([0.0, 0.0, 1.0])
+    fwd_cap = R_w @ np.array([1.0, 0.0, 0.0])
+
+    focal = 0.5 * w / np.tan(0.5 * fov_x)
+    cams = {1: Camera(1, "SIMPLE_PINHOLE", w, h,
+                      np.array([focal, w / 2.0, h / 2.0], np.float64))}
+    images = {}
+    rs = np.random.RandomState(3)
+    ii, jj = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    for k in range(n_views):
+        phi = 2 * np.pi * k / n_views
+        elev = -0.35 + 1.1 * rs.rand()
+        p_canon = cam_dist * np.array([
+            np.cos(phi) * np.cos(elev), np.sin(phi) * np.cos(elev),
+            np.sin(elev)])
+        pos = S * (R_w @ p_canon) + C
+        # OpenCV look-at in the capture frame (z forward, y down)
+        z = (C - pos)
+        z = z / np.linalg.norm(z)
+        x = np.cross(z, up_cap)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], 0)
+        t = -R @ pos
+
+        # render: pixel dirs -> capture world -> canonical
+        d_cam = np.stack([(ii - w / 2) / focal, (jj - h / 2) / focal,
+                          np.ones_like(ii)], -1)
+        d_cap = d_cam @ R  # == (R.T @ d)^T rows
+        d_can = d_cap @ R_w  # R_w^T applied rowwise
+        d_can = d_can / np.linalg.norm(d_can, axis=-1, keepdims=True)
+        o_can = R_w.T @ ((pos - C) / S)
+        o_can = np.broadcast_to(o_can, d_can.shape)
+        rgb, _hit = tracer(o_can.reshape(-1, 3), d_can.reshape(-1, 3))
+        img = np.round(rgb.reshape(h, w, 3) * 255).astype(np.uint8)
+        name = f"{k:04d}.png"
+        cv2.imwrite(os.path.join(root, "images", name), img[..., ::-1])
+        images[k + 1] = Image(k + 1, rotmat_to_qvec(R), t.copy(), 1, name)
+    write_model(cams, images, {}, os.path.join(root, "colmap/sparse/0"))
+
+    # object point cloud: outer-surface samples + a noise halo (COLMAP
+    # clouds are never tight — the halo sets the normalized object scale
+    # to ~R_OUTER/0.625 = 0.8 instead of exactly 1.0)
+    outer, inner = gt_surface_points()
+    halo = rs.randn(300, 3)
+    halo = 0.625 * halo / np.linalg.norm(halo, axis=-1, keepdims=True)
+    cloud_canon = np.concatenate([outer[:4000], halo], 0)
+    cloud_cap = (cloud_canon @ R_w.T) * S + C
+    write_ply_points(os.path.join(root, "object_point_cloud.ply"),
+                     cloud_cap.astype(np.float32))
+    np.savetxt(os.path.join(root, "meta_info.txt"),
+               np.stack([up_cap, fwd_cap], 0))
+
+    # GT surfaces in the normalized database frame: replay _normalize
+    # (data/database.py:387-409) on the cloud we just wrote
+    center = (cloud_cap.max(0) + cloud_cap.min(0)) * 0.5
+    scale = 1.0 / np.max(np.linalg.norm(cloud_cap - center, axis=-1))
+    u = up_cap / np.linalg.norm(up_cap)
+    f = fwd_cap / np.linalg.norm(fwd_cap)
+    yv = np.cross(u, f)
+    xv = np.cross(yv, u)
+    xv, yv = xv / np.linalg.norm(xv), yv / np.linalg.norm(yv)
+    R_rec = np.stack([xv, yv, u], 0)
+
+    def to_norm(p_canon):
+        p_cap = (p_canon @ R_w.T) * S + C
+        return (scale * (p_cap - center)) @ R_rec.T
+
+    np.save(os.path.join(root, "gt_outer.npy"),
+            to_norm(outer).astype(np.float32))
+    np.save(os.path.join(root, "gt_inner.npy"),
+            to_norm(inner).astype(np.float32))
+    # GT parameters in the NORMALIZED frame — the frame the trained fields
+    # and extracted meshes live in (eval_shell samples at meta r_outer)
+    norm_scale = float(scale * S)
+    meta = {"mode": "shell" if shell else "solid", "ior": IOR,
+            "r_outer": R_OUTER * norm_scale, "norm_scale": norm_scale,
+            "layout": "colmap"}
+    if shell:
+        meta["tau"] = tau_canon * norm_scale
+    with open(os.path.join(root, "meta.json"), "w") as fjs:
+        json.dump(meta, fjs)
+    return root
+
+
 def make_nested_scene(root: str, n_train: int = 80, n_test: int = 8,
                       h: int = 128, w: int = 128, cam_dist: float = 2.2,
                       camera_angle_x: float = 0.65, shell: bool = False):

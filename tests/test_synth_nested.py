@@ -74,3 +74,50 @@ def test_make_nested_scene_dataset(tmp_path):
     assert img.shape == (24, 24, 3)
     mask = db.get_mask(train_ids[0])
     assert mask is not None and mask.max() > 0
+
+
+def test_make_colmap_scene_real_path(tmp_path):
+    """Capture-style scene -> CustomDatabase end-to-end: the database's
+    up/forward alignment + object-cloud normalization + crop must recover a
+    centered object, and the written GT surfaces must land where the
+    normalized frame puts the glass."""
+    from nunerf_tpu.tools.synth_nested import make_colmap_scene
+
+    root = str(tmp_path / "nested_real")
+    make_colmap_scene(root, n_views=4, h=60, w=80, shell=True)
+    assert os.path.exists(os.path.join(root, "colmap/sparse/0/images.bin"))
+
+    from nunerf_tpu.data.database import parse_database_name
+    db = parse_database_name("custom/nested_real/48", str(tmp_path))
+    ids = db.get_img_ids()
+    assert len(ids) == 4
+    # normalization: cloud inside the unit sphere, centered
+    r = np.linalg.norm(db.ref_points, axis=-1)
+    assert r.max() <= 1.0 + 1e-5
+    assert np.linalg.norm(db.ref_points.mean(0)) < 0.1
+    # glass surface sits at ~0.8 in the normalized frame (noise halo sets
+    # the scale); GT file must agree with the database's own normalization
+    gt_outer = np.load(os.path.join(root, "gt_outer.npy"))
+    # similarity transform: still a sphere about its own center (the bbox
+    # normalization leaves a small off-origin offset, as on real captures)
+    ctr = gt_outer.mean(0)
+    r_gt = np.linalg.norm(gt_outer - ctr, axis=-1)
+    np.testing.assert_allclose(r_gt, r_gt.mean(), atol=1e-2)
+    assert 0.75 < r_gt.mean() < 0.85
+    assert np.linalg.norm(ctr) < 0.05
+    # database up-alignment: normalized world +z equals the capture up, so
+    # the GT snowman axis (canonical +z) is +z again in the db frame
+    gt_inner = np.load(os.path.join(root, "gt_inner.npy"))
+    spread = gt_inner.max(0) - gt_inner.min(0)
+    assert spread[2] > spread[0] and spread[2] > spread[1]
+
+    # every center ray of the cropped views passes near the object center
+    from nunerf_tpu.data.ray_store import build_imgs_info, construct_ray_batch
+    info = build_imgs_info(db, ids, with_mask=True)
+    batch, h, w = construct_ray_batch(info)
+    ci = (h // 2) * w + w // 2
+    for v in range(4):
+        o = batch["rays_o"][v * h * w + ci]
+        d = batch["rays_d"][v * h * w + ci]
+        closest = o - np.dot(o, d) * d
+        assert np.linalg.norm(closest) < 0.15
