@@ -495,12 +495,19 @@ class CustomDatabase(_ColmapDatabase):
                 np.asarray(directions[1], np.float64))
 
     def get_mask(self, img_id):
-        fp = f"{self.root}/mask_erosion/{self.image_names[img_id]}"
-        if os.path.exists(fp):
-            m = _imread(fp)
-            if m.ndim == 3:
-                m = m[..., 0]
-            return m.astype(np.float32) / 255.0
+        name = self.image_names[img_id]
+        stem = os.path.splitext(name)[0]
+        # render-mask writes .jpg regardless of the capture's image format
+        # (reference render_mask_synthetic.py:76 vs database.py:532 reads the
+        # raw image name — which only lines up for .jpg captures)
+        for fp in (f"{self.root}/mask_erosion/{name}",
+                   f"{self.root}/mask_erosion/{stem}.jpg",
+                   f"{self.root}/mask_erosion/{stem}.png"):
+            if os.path.exists(fp):
+                m = _imread(fp)
+                if m.ndim == 3:
+                    m = m[..., 0]
+                return m.astype(np.float32) / 255.0
         return None
 
 

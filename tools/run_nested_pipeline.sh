@@ -66,5 +66,41 @@ shell_stage2() {
       --mesh "${inner%.ply}_post.ply" --gt datasets/nested_shell/gt_inner.npy
 }
 
+real_front() {
+  # capture-style (COLMAP/CustomDatabase) hollow-glass scene: stage-1 with
+  # the real conventions (NeRO rays, sphere_direction, normal_ori), outer
+  # mesh, then the mask pipeline stage-2 consumes (get_mask: true)
+  if [ ! -d datasets/nested_real ]; then
+    python -m nunerf_tpu.cli synth-scene --output ./datasets/nested_real --colmap --shell --n-train 56
+  fi
+  echo "=== real stage-1 train ==="
+  python -m nunerf_tpu.cli train --cfg configs/shape/real/nested_real.yaml
+  echo "=== real extract outer mesh ==="
+  python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/real/nested_real.yaml --resolution 384
+  python -m nunerf_tpu.cli eval-geometry \
+      --mesh data/meshes/nested_real-20000_simplified.ply --gt datasets/nested_real/gt_outer.npy
+  echo "=== mask pipeline ==="
+  python -m nunerf_tpu.cli render-mask --cfg configs/shape/real/nested_real.yaml \
+      --mesh_path data/meshes/nested_real-20000_simplified.ply
+  python -m nunerf_tpu.cli mask-erosion --cfg configs/shape/real/nested_real.yaml
+}
+
+real_stage2() {
+  local budget="${1:?usage: real_stage2 <timeout_s>}"
+  echo "=== real shell stage-2 train (budget ${budget}s) ==="
+  timeout "$budget" python -m nunerf_tpu.cli train --cfg configs/stage2/real/nested_real.yaml
+  echo "=== learned IoR/thickness vs GT + inner mesh ==="
+  python tools/eval_shell.py --cfg configs/stage2/real/nested_real.yaml \
+      --meta datasets/nested_real/meta.json
+  python -m nunerf_tpu.cli extract-mesh-stage2 --cfg configs/stage2/real/nested_real.yaml --resolution 256
+  local inner
+  inner=$(ls -t data/meshes/nested_real_s2-*-inner.ply | head -1)
+  python -m nunerf_tpu.cli postprocess-stage2 \
+      --input "$inner" --outer data/meshes/nested_real-20000_simplified.ply
+  python -m nunerf_tpu.cli eval-geometry \
+      --mesh "${inner%.ply}_post.ply" --gt datasets/nested_real/gt_inner.npy
+  python -m nunerf_tpu.cli eval-images --cfg configs/stage2/real/nested_real.yaml
+}
+
 "$@"
 echo "PIPELINE LEG EXIT:$?"
