@@ -130,12 +130,36 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_chunks * CHUNK * rn / dt
-    print(json.dumps({
+    step_ms = dt / (n_chunks * CHUNK) * 1e3
+
+    # Roofline visibility (VERDICT: report measured MFU per round): XLA's
+    # own flop count for the compiled chunk vs the v5e peak.  f32 dots on
+    # TPU run as one bf16 MXU pass by default (see trainer notes), so the
+    # bf16 peak is the honest denominator.
+    mfu = None
+    try:
+        cost = jitted.lower(params, opt_state, batch, rng, step).compile() \
+                     .cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_chunk = float(cost.get("flops", 0.0))
+        PEAK_V5E_BF16 = 197e12
+        mfu = (flops_chunk * n_chunks / dt) / PEAK_V5E_BF16
+    except Exception:
+        pass
+
+    out = {
         "metric": "stage1_train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-    }))
+        "baseline_estimated": True,  # no GPU here to instrument the reference
+        "rays_per_step": rn,
+        "step_ms": round(step_ms, 2),
+    }
+    if mfu is not None:
+        out["mfu_bf16"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

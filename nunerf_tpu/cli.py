@@ -173,6 +173,8 @@ def cmd_eval_geometry(args):
             rs = np.random.RandomState(0)
             return pts[rs.choice(len(pts), min(n, len(pts)), replace=False)]
         verts, tris = load_ply(path)
+        if len(tris) == 0:
+            return np.zeros((0, 3), np.float32)
         v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
         area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
         p = area / max(area.sum(), 1e-12)
@@ -184,10 +186,17 @@ def cmd_eval_geometry(args):
         v = np.where(flip, 1 - v, v)
         return (v0[fi] + u * (v1[fi] - v0[fi]) + v * (v2[fi] - v0[fi]))
 
+    import json
     a = sample_surface(args.mesh, args.n_samples)
     b = sample_surface(args.gt, args.n_samples)
+    if len(a) == 0 or len(b) == 0:
+        # an empty mesh (e.g. postprocess dropped every face) is a result,
+        # not a crash — report it so unattended pipeline runs keep going
+        print(json.dumps({"chamfer": None, "pred_to_gt": None,
+                          "gt_to_pred": None,
+                          "error": f"empty surface: pred={len(a)} gt={len(b)}"}))
+        return
     d1, d2 = chamfer_distance(a, b)
-    import json
     print(json.dumps({"chamfer": float(d1) + float(d2),
                       "pred_to_gt": float(d1), "gt_to_pred": float(d2)}))
 

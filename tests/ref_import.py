@@ -101,6 +101,41 @@ def load_reference():
     return ref_field, ref_utils
 
 
+def load_reference_renderer():
+    """Import the reference's zero-thickness renderer module
+    (``network/renderer_zerothick.py``) on the CPU test rig.
+
+    Beyond ``load_reference``'s stubs this needs: open3d / trimesh / pymesh /
+    imageio (mesh + viz tooling the render path never touches with
+    ``training=False``) and the OptiX binding chain (``network.tracing_optix``
+    imports ``optix``+``cupy`` and builds CUDA pipelines at class-init; the
+    stage-1 renderer constructs no Scene, so a module stub suffices)."""
+    _install_stubs()
+    for name, attrs in [
+        ("open3d", {}),
+        ("trimesh", {"Trimesh": object, "PointCloud": object}),
+        ("trimesh.exchange", {}),
+        ("trimesh.exchange.export", {"export_mesh": None}),
+        ("pymesh", {}),
+        ("imageio", {"imread": None, "imwrite": None}),
+        ("optix", {}),
+        ("cupy", {}),
+    ]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+    if REF_DIR not in sys.path:
+        sys.path.insert(0, REF_DIR)
+    if "network.tracing_optix" not in sys.modules:
+        stub = types.ModuleType("network.tracing_optix")
+        stub.optix_mesh = object
+        sys.modules["network.tracing_optix"] = stub
+    import network.renderer_zerothick as ref_rz
+    return ref_rz
+
+
 @contextmanager
 def reference_cwd():
     """The reference loads assets by relative path (field.py:583)."""

@@ -394,3 +394,94 @@ def test_app_shading_parity_vs_reference_code():
 def test_app_shading_sphere_direction_parity_vs_reference_code():
     """Same, with the sphere_direction encoding branch (field.py:641-647)."""
     _shading_parity(sphere_direction=True)
+
+
+@pytest.mark.slow
+def test_rendered_pixel_parity_vs_reference_code():
+    """Full stage-1 rendered-pixel parity against the reference's OWN
+    renderer (renderer_zerothick.py NeROShapeRenderer, training=False):
+    same weights, same rays -> allclose ray_rgb.  This closes the loop the
+    field-level tests can't: sampling laws (sample_ray + 4 NeuS upsample
+    rounds), alpha conversion, inside/outside branch selection, sRGB-space
+    compositing and the is_nerf white fill."""
+    from ref_import import load_reference_renderer, reference_cwd
+    from nunerf_tpu.models.stage1 import ShapeRenderer
+
+    ref_rz = load_reference_renderer()
+    cfg = {"is_nerf": True, "apply_occ_loss": False,
+           "shader_config": {"sphere_direction": False}}
+    torch.manual_seed(11)
+    with CudaToCpu(), reference_cwd():
+        tmod = ref_rz.name2renderer["shape"](cfg, training=False)
+    randomize_wn(tmod)
+
+    ours = ShapeRenderer({**cfg,
+                          "partition_samples": False,
+                          "mixed_precision": False,
+                          "sdf_mixed_precision": False,
+                          "fused_mlp": False, "fused_sdf": False,
+                          "fused_sdf_value": False})
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    # ---- weight transfer: every module the render path touches ----
+    sdf_new = {f"lin{l}": ref_wn_to_jax(getattr(tmod.sdf_network, f"lin{l}"))
+               for l in range(9)}
+    params["sdf"] = {"params": sdf_new}
+    params["var"] = {"params": {"variance": jnp.asarray(
+        tmod.deviation_network.variance.detach().numpy().reshape(()))}}
+
+    def lin2jax(lin):
+        return {"kernel": jnp.asarray(lin.weight.detach().numpy().T),
+                "bias": jnp.asarray(lin.bias.detach().numpy())}
+
+    nerf_new = {f"pts_{i}": lin2jax(l)
+                for i, l in enumerate(tmod.outer_nerf.pts_linears)}
+    nerf_new["alpha"] = lin2jax(tmod.outer_nerf.alpha_linear)
+    nerf_new["feature"] = lin2jax(tmod.outer_nerf.feature_linear)
+    nerf_new["views_0"] = lin2jax(tmod.outer_nerf.views_linears[0])
+    nerf_new["rgb"] = lin2jax(tmod.outer_nerf.rgb_linear)
+    params["nerf"] = {"params": nerf_new}
+
+    shade_map = {
+        "metallic": tmod.color_network.metallic_predictor,
+        "roughness": tmod.color_network.roughness_predictor,
+        "albedo": tmod.color_network.albedo_predictor,
+        "outer_light": tmod.color_network.outer_light,
+        "inner_light": tmod.color_network.inner_light,
+        "inner_weight": tmod.color_network.inner_weight,
+        "transmission_weight": tmod.color_network.transmisstion_weight,
+        "refrac_light": tmod.color_network.refrac_light,
+    }
+    params["shade"] = {"params": {k: predictor_to_jax(v)
+                                  for k, v in shade_map.items()}}
+
+    # ---- rays: a crop straddling silhouette, interior and background ----
+    rs = np.random.RandomState(5)
+    n = 24
+    o = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (n, 1))
+    tgt = rs.randn(n, 3).astype(np.float32) * 0.5
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full((n, 1), 0.8, np.float32)
+    far = np.full((n, 1), 4.5, np.float32)
+
+    with torch.no_grad(), CudaToCpu(), reference_cwd():
+        hp = torch.zeros(n, 3, 4)
+        ref_out = tmod.render(torch.from_numpy(o), torch.from_numpy(d),
+                              torch.from_numpy(near), torch.from_numpy(far),
+                              hp, perturb_overwrite=0,
+                              cos_anneal_ratio=1.0, is_train=True,
+                              step=2000, is_nerf=True)
+
+    out = ours.render(params, jnp.asarray(o), jnp.asarray(d),
+                      jnp.asarray(near), jnp.asarray(far),
+                      jnp.zeros((n, 3, 4)),
+                      jax.random.PRNGKey(1), jnp.asarray(2000, jnp.int32),
+                      cos_anneal_ratio=1.0, perturb_overwrite=0.0,
+                      is_train=True, is_nerf=True)
+
+    ref_rgb = ref_out["ray_rgb"].numpy()
+    np.testing.assert_allclose(np.asarray(out["acc"]),
+                               ref_out["acc"].numpy().reshape(-1), atol=1e-3)
+    # 3e-3: the shader-level 2e-3 IDE rounding bound, composited
+    np.testing.assert_allclose(np.asarray(out["ray_rgb"]), ref_rgb, atol=3e-3)
