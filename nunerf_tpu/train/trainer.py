@@ -96,6 +96,18 @@ class Trainer:
 
     def __init__(self, cfg: Dict[str, Any], n_devices: Optional[int] = None):
         self.cfg = merge_cfg(TRAINER_DEFAULTS, cfg)
+        # persistent compilation cache: stage-2 train graphs take minutes to
+        # compile on the AOT path; resumed/repeated runs should pay zero
+        try:
+            cache_dir = self.cfg.get("compilation_cache_dir",
+                                     os.path.join("data", ".jax_cache"))
+            if cache_dir:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
         self.name = self.cfg["name"]
         self.model_dir = os.path.join(self.cfg["model_dir"], self.name)
         os.makedirs(self.model_dir, exist_ok=True)
@@ -250,8 +262,13 @@ class Trainer:
         t0 = time.time()
         ema: Dict[str, float] = {}
 
-        chunk = max(1, min(cfg["train_log_step"], cfg["save_interval"],
-                           cfg["val_interval"]))
+        # scan length is capped separately from the logging cadence: XLA
+        # compile time grows superlinearly in the unroll-equivalent graph
+        # (measured on the stage-2 step: scan(10) 93 s, scan(100) >40 min)
+        # while dispatch amortization saturates around a few seconds of
+        # device work per chunk
+        chunk = max(1, min(cfg.get("scan_chunk", 25), cfg["train_log_step"],
+                           cfg["save_interval"], cfg["val_interval"]))
         step = start_step
         while step < cfg["total_step"]:
             n = min(chunk, cfg["total_step"] - step)
