@@ -298,8 +298,16 @@ class Stage2Renderer:
 
     def _sample_inner_segment(self, params, b, rng):
         """Inside-glass segment (k == 1): NeuS-upsampled to the exit hit;
-        uniform along seg_far on miss (:1734-1760)."""
+        uniform along seg_far on miss (:1734-1760).
+
+        cfg ``inner_upsample_parity_quirk`` (default off) replicates the
+        reference's unit mix-up for exact-parity runs: its upsample rounds
+        treat chord FRACTIONS as world-space z (initial SDF sampled at
+        fraction*chord, refined SDF sampled at fraction*1.0,
+        renderer_zerothick.py:1739-1760); the default path keeps one
+        consistent world-unit z throughout."""
         cfg = self.cfg
+        quirk = bool(cfg.get("inner_upsample_parity_quirk", False))
         n0 = cfg["n_samples_inner"]
         rounds = cfg["inner_up_rounds"]
         each = cfg["inner_up_each"]
@@ -311,12 +319,14 @@ class Stage2Renderer:
         seg_len = safe_norm(end_hit - start, keepdims=True)
         # z in world units toward the hit; miss lanes use seg_far span
         safe_len = jnp.where(b["hit"][:, None], seg_len, cfg["seg_far"])
-        z = jnp.linspace(0.0, 1.0, n0)[None, :] * safe_len  # [R,n0]
+        zf = jnp.linspace(0.0, 1.0, n0)[None, :]  # chord fractions
+        z = zf * (jnp.ones_like(safe_len) if quirk else safe_len)  # [R,n0]
 
         def stop(x):
             return jax.lax.stop_gradient(x)
 
-        pts = start[:, None, :] + direc[:, None, :] * z[..., None]
+        pts = (start[:, None, :]
+               + direc[:, None, :] * (zf * safe_len)[..., None])
         sdf = stop(self.inner_sdf(params, pts.reshape(-1, 3)).reshape(rn, n0))
         for i in range(rounds):
             sn = z.shape[1]
@@ -335,6 +345,8 @@ class Stage2Renderer:
                 z, sdf = merge_z_vals(z, new_z, sdf, new_sdf)
             else:
                 z, _ = merge_z_vals(z, new_z, sdf, None)
+        if quirk:
+            z = z * safe_len  # fractions -> world, as sampled_vertices does
 
         # hit lanes: NeuS z (already spans [0, seg_len]); miss lanes: uniform
         z_miss = jnp.linspace(0.0, 1.0, n_total)[None, :] * cfg["seg_far"]
@@ -482,7 +494,7 @@ class Stage2Renderer:
                 if infinity_fill:
                     acc_seg = jnp.sum(weights, axis=-1, keepdims=True)
                     seg_color = seg_color + (1.0 - acc_seg) * escape
-            else:
+            elif cfg.get("bg_srgb_composite", True):
                 # frozen background segments: composite in sRGB space —
                 # stage-1's convention (stage1.render_core:434) — then add
                 # the is_nerf white fill on escaped lanes, so an escaped
@@ -493,6 +505,14 @@ class Stage2Renderer:
                     acc_seg = jnp.sum(weights, axis=-1, keepdims=True)
                     seg_srgb = seg_srgb + (1.0 - acc_seg) * escape
                 seg_color = srgb_to_linear(seg_srgb)
+            else:
+                # reference-parity mode: linear-space compositing of the
+                # background segments (renderer_zerothick.py:1948-1952)
+                scolor = srgb_to_linear(scolor.reshape(rn, n_s, 3))
+                seg_color = jnp.sum(scolor * weights[..., None], axis=1)
+                if infinity_fill:
+                    acc_seg = jnp.sum(weights, axis=-1, keepdims=True)
+                    seg_color = seg_color + (1.0 - acc_seg) * escape
             seg_T = jnp.prod(1.0 - alpha + 1e-7, axis=-1, keepdims=True)
             # an escaped lane's radiance is fully accounted (fill): nothing
             # behind it may leak through
