@@ -113,9 +113,13 @@ def load_reference_renderer():
     _install_stubs()
     for name, attrs in [
         ("open3d", {}),
-        ("trimesh", {"Trimesh": object, "PointCloud": object}),
+        ("trimesh", {"Trimesh": object, "PointCloud": object,
+                     "load": lambda *a, **k: None}),
         ("trimesh.exchange", {}),
         ("trimesh.exchange.export", {"export_mesh": None}),
+        ("trimesh.curvature", {"discrete_gaussian_curvature_measure": None,
+                               "discrete_mean_curvature_measure": None,
+                               "sphere_ball_intersection": None}),
         ("pymesh", {}),
         ("imageio", {"imread": None, "imwrite": None}),
         ("optix", {}),
@@ -134,6 +138,14 @@ def load_reference_renderer():
         sys.modules["network.tracing_optix"] = stub
     import network.renderer_zerothick as ref_rz
     return ref_rz
+
+
+def load_reference_renderer_shell():
+    """Import the reference's non-zero-thickness renderer module
+    (``network/renderer.py`` — the curvature-shell Stage2Renderer)."""
+    load_reference_renderer()  # installs every stub the module needs
+    import network.renderer as ref_r
+    return ref_r
 
 
 @contextmanager
