@@ -106,6 +106,46 @@ S1_CFG = {"is_nerf": True, "apply_occ_loss": False, "get_mask": False,
           "shader_config": {"sphere_direction": False}}
 
 
+def _lin2jax(lin):
+    return {"kernel": jnp.asarray(lin.weight.detach().numpy().T),
+            "bias": jnp.asarray(lin.bias.detach().numpy())}
+
+
+def _shading2jax(tshade):
+    mapping = {
+        "metallic": tshade.metallic_predictor,
+        "roughness": tshade.roughness_predictor,
+        "albedo": tshade.albedo_predictor,
+        "outer_light": tshade.outer_light,
+        "inner_light": tshade.inner_light,
+        "inner_weight": tshade.inner_weight,
+        "transmission_weight": tshade.transmisstion_weight,
+        "refrac_light": tshade.refrac_light,
+    }
+    return {"params": {k: predictor_to_jax(v) for k, v in mapping.items()}}
+
+
+def _transfer_stage1(s1_torch, s1_ours):
+    """All stage-1 weights the stage-2 render path touches -> our pytree."""
+    frozen = {}
+    frozen["sdf"] = {"params": {
+        f"lin{l}": ref_wn_to_jax(getattr(s1_torch.sdf_network, f"lin{l}"))
+        for l in range(9)}}
+    frozen["var"] = {"params": {"variance": jnp.asarray(
+        s1_torch.deviation_network.variance.detach().numpy().reshape(()))}}
+    new = {f"pts_{i}": _lin2jax(l)
+           for i, l in enumerate(s1_torch.outer_nerf.pts_linears)}
+    new["alpha"] = _lin2jax(s1_torch.outer_nerf.alpha_linear)
+    new["feature"] = _lin2jax(s1_torch.outer_nerf.feature_linear)
+    new["views_0"] = _lin2jax(s1_torch.outer_nerf.views_linears[0])
+    new["rgb"] = _lin2jax(s1_torch.outer_nerf.rgb_linear)
+    frozen["nerf"] = {"params": new}
+    frozen["shade"] = _shading2jax(s1_torch.color_network)
+    frozen["inf_out"] = s1_ours.inf_out.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3)))  # unused by both
+    return frozen
+
+
 @pytest.fixture(scope="module")
 def stage2_pair(tmp_path_factory):
     """(reference Stage2Renderer, our Stage2Renderer, our params)."""
@@ -324,12 +364,13 @@ def shell_pair(tmp_path_factory):
         ref_r.Scene = old_scene
     randomize_wn(tref)
 
-    ours = Stage2ShellRenderer = __import__(
-        "nunerf_tpu.models.stage2_shell",
-        fromlist=["Stage2ShellRenderer"]).Stage2ShellRenderer(
+    from nunerf_tpu.models.stage2_shell import Stage2ShellRenderer
+    ours = Stage2ShellRenderer(
         {"is_nerf": True,
          "shader_config": {"sphere_direction": False},
          "stage1_cfg": S1_CFG,
+         "bg_sampling": "inverse", "bg_infinity_fill": False,
+         "bg_srgb_composite": False, "inner_upsample_parity_quirk": True,
          "mixed_precision": False, "sdf_mixed_precision": False,
          "fused_sdf": False},
         scene=FakeSceneJax(),
@@ -340,6 +381,7 @@ def shell_pair(tmp_path_factory):
         return {"params": {"module0": {
             f"layer_{i}": ref_wn_to_jax(l) for i, l in enumerate(lins)}}}
 
+    frozen = _transfer_stage1(tref.stage1_network, ours.stage1)
     train = {
         "sdf_inner": {"params": {
             f"lin{l}": ref_wn_to_jax(getattr(tref.sdf_network_inner,
@@ -348,11 +390,14 @@ def shell_pair(tmp_path_factory):
         "var_inner": {"params": {"variance": jnp.asarray(
             tref.deviation_network_inner.variance.detach().numpy()
             .reshape(()))}},
+        "shade_inner": _shading2jax(tref.color_network_inner),
         "ior": wnstack2jax(tref.IORs_pred.module0),
         "ior_int": wnstack2jax(tref.IoRint_pred.module0),
         "thickness": wnstack2jax(tref.thickness_pred.module0),
+        "iors_vec": jnp.asarray(tref.IORs.detach().numpy()),
     }
-    return tref, ours, train
+    ours.stage1_params = frozen
+    return tref, ours, {"train": train, "frozen": frozen}
 
 
 @pytest.mark.slow
@@ -360,10 +405,7 @@ def test_shell_ray_trace_parity(shell_pair):
     """Curvature-shell bounce-chain parity: entry shell crossing (two Snell
     refractions + osculating-sphere chord), exit pull-back to the inner
     shell, TIR chain — our _shell_cross vs renderer.py:1610-2009."""
-    tref, ours, train = shell_pair
-    # our ray_trace only touches ior/thickness nets from params["train"]
-    params = {"train": dict(train, shade_inner=None, iors_vec=None),
-              "frozen": {}}
+    tref, ours, params = shell_pair
     o, d = _rays(24)
     with torch.no_grad(), CudaToCpu(), reference_cwd():
         (pathes, converges, directions, ior_ratios, infinity_bkgr,
@@ -395,3 +437,34 @@ def test_shell_ray_trace_parity(shell_pair):
         ours_dir2 = np.asarray(bounces[2]["dir"])[conv1_full]
         np.testing.assert_allclose(ours_dir2, directions[2].numpy(),
                                    atol=5e-4)
+
+
+@pytest.mark.slow
+def test_shell_render_parity(shell_pair):
+    """Full curvature-shell rendered-pixel parity: shell ray trace +
+    per-segment sampling (uniform-to-hit / NeuS interior / inverse-depth
+    background) + SpecInner interior shading + S2 interface shading +
+    transmittance chaining, vs renderer.py:1482-2353."""
+    tref, ours, params = shell_pair
+    o, d = _rays(20)
+    n = o.shape[0]
+    with torch.no_grad(), CudaToCpu(), reference_cwd():
+        ref_out = tref.render(torch.from_numpy(o), torch.from_numpy(d),
+                              torch.ones(n, 1), None, None,
+                              torch.zeros(n, 3, 4),
+                              perturb_overwrite=0, cos_anneal_ratio=1.0,
+                              is_train=True, step=30000, is_nerf=True)
+    out = ours.render(params, jnp.asarray(o), jnp.asarray(d),
+                      jax.random.PRNGKey(0), jnp.asarray(30000, jnp.int32),
+                      cos_anneal_ratio=1.0, is_train=True)
+
+    ref_rgb = ref_out["ray_rgb"].numpy()
+    ref_tir = ref_out["tir_mask"].numpy().reshape(-1, 1)
+    ours_rgb = np.asarray(out["ray_rgb"])
+    ours_tir = np.asarray(out["tir_mask"])
+    np.testing.assert_array_equal(ours_tir, ref_tir)
+    # 8e-3: the zero-thickness bound (5e-3) plus the shell chain's extra
+    # interface and the reference's (norm+1e-4) direction slack feeding the
+    # sample positions
+    np.testing.assert_allclose(ours_rgb * ours_tir, ref_rgb * ref_tir,
+                               atol=8e-3)
