@@ -35,8 +35,8 @@ stage2() {
   echo "=== eval inner geometry ==="
   python -m nunerf_tpu.cli eval-geometry \
       --mesh "${inner%.ply}_post.ply" --gt datasets/nested/gt_inner.npy
-  echo "=== stage-2 test-split eval ==="
-  python -m nunerf_tpu.cli eval-images --cfg configs/stage2/nerf/nested.yaml
+  echo "=== stage-2 test-split eval (all 8 test views) ==="
+  python -m nunerf_tpu.cli eval-images --cfg configs/stage2/nerf/nested.yaml --split test
 }
 
 shell_front() {
