@@ -338,7 +338,8 @@ class ShapeRenderer:
         points [N,3] flattened inner samples; occ_prob [N,1]; valid lanes
         chosen by (inner & surface & front-facing) then weighted random top-K.
         """
-        k = int(self.cfg["occ_loss_max_pn"])
+        # small-batch configs can have fewer candidate points than the cap
+        k = min(int(self.cfg["occ_loss_max_pn"]), points.shape[0])
         inner = jnp.linalg.norm(points, axis=-1) < 0.999
         sdf_ok = jnp.abs(sdf) < self.cfg["occ_sdf_thresh"]
         facing = jnp.sum(grads * dirs, axis=-1) < 0
