@@ -47,6 +47,9 @@ BENCH_CFG = {
     # nets gain ~15% (9.3k vs 8.1k rays/s); on a directly-attached v5e the
     # cast overhead previously lost ~14% — re-measure per deployment.
     "mixed_precision": True,
+    # bf16 SDF trunk — what the shipped training configs run (geometry
+    # validated by the nested-scene outer-chamfer gate, round 2)
+    "sdf_mixed_precision": True,
 }
 
 

@@ -123,25 +123,30 @@ class AppShadingNetwork(nn.Module):
     def predict_specular_lights(self, points, reflective, roughness, human_poses):
         """field.py:636-667; also emits the zero-roughness light for the
         transmission term."""
+        # batched [2N]-row head calls: rows are independent through the
+        # matmul chains, so one call per head is bit-identical to two
+        n = points.shape[0]
         zero_r = jnp.zeros_like(roughness)
-        ref_rough_0 = self.sph_enc(reflective, zero_r)
-        ref_rough = self.sph_enc(reflective, roughness)
+        enc = self.sph_enc(jnp.concatenate([reflective, reflective], 0),
+                           jnp.concatenate([roughness, zero_r], 0))
+        ref_rough, ref_rough_0 = enc[:n], enc[n:]
         pts = posenc(points, self.light_pos_freq)
         if self.sphere_direction:
             sph = self._sphere_dir_enc(points, reflective, roughness)
-            direct_light = self.outer_light(jnp.concatenate([ref_rough, sph], -1))
-            direct_light_0 = self.outer_light(jnp.concatenate([ref_rough_0, sph], -1))
+            direct = self.outer_light(jnp.concatenate(
+                [enc, jnp.concatenate([sph, sph], 0)], -1))
         else:
-            direct_light = self.outer_light(ref_rough)
-            direct_light_0 = self.outer_light(ref_rough_0)
+            direct = self.outer_light(enc)
+        direct_light, direct_light_0 = direct[:n], direct[n:]
 
         human_light, human_weight = 0.0, 0.0
         if self.human_light:
             human_light, human_weight = self.predict_human_light(
                 points, reflective, human_poses, roughness)
 
-        indirect_light = self.inner_light(jnp.concatenate([pts, ref_rough], -1))
-        indirect_light_0 = self.inner_light(jnp.concatenate([pts, ref_rough_0], -1))
+        inner = self.inner_light(jnp.concatenate(
+            [jnp.concatenate([pts, pts], 0), enc], -1))
+        indirect_light, indirect_light_0 = inner[:n], inner[n:]
         ref_enc = posenc(reflective, 6)
         occ_prob = self.inner_weight(jax.lax.stop_gradient(
             jnp.concatenate([pts, ref_enc], -1)))
@@ -155,6 +160,67 @@ class AppShadingNetwork(nn.Module):
                    + (human_light * human_weight + direct_light_0 * (1 - human_weight))
                    * (1 - occ_prob_))
         return light, light_0, occ_prob, indirect_light * occ_prob_, human_light * human_weight
+
+    def _lights_batched(self, points, normals, reflective, roughness, human_poses):
+        """All light-head evaluations of the stage-1 forward, batched.
+
+        ``predict_diffuse_lights`` + ``predict_specular_lights`` issue five
+        256-wide predictor chains over [N]-row batches (outer_light x3,
+        inner_light x2).  Matmuls are row-independent, so stacking the rows
+        and calling each head once ([3N] / [2N]) is bit-identical math with
+        fewer, larger MXU dispatches — the shading stack is compute-bound at
+        training scale.  Returns (diffuse_light, specular pack).
+        """
+        zero_r = jnp.zeros_like(roughness)
+        one_r = jnp.ones_like(roughness)
+        n = points.shape[0]
+
+        # sph_enc rows: [diffuse(normals, 1), spec(reflective, roughness),
+        # spec0(reflective, 0)] — one IDE evaluation
+        enc = self.sph_enc(
+            jnp.concatenate([normals, reflective, reflective], 0),
+            jnp.concatenate([one_r, roughness, zero_r], 0))
+        if self.sphere_direction:
+            # both specular rows share the roughness-dependent sphere enc
+            # (field.py:649-652); diffuse uses roughness=1 (field.py:675)
+            sph_d = self._sphere_dir_enc(points, normals, one_r)
+            sph_s = self._sphere_dir_enc(points, reflective, roughness)
+            outer = self.outer_light(jnp.concatenate(
+                [enc, jnp.concatenate([sph_d, sph_s, sph_s], 0)], -1))
+        else:
+            outer = self.outer_light(enc)
+        diffuse_light = outer[:n]
+        direct_light = outer[n:2 * n]
+        direct_light_0 = outer[2 * n:]
+
+        human_light, human_weight = 0.0, 0.0
+        if self.human_light:
+            human_light, human_weight = self.predict_human_light(
+                points, reflective, human_poses, roughness)
+
+        pts = posenc(points, self.light_pos_freq)
+        ref_rough = enc[n:2 * n]
+        ref_rough_0 = enc[2 * n:]
+        inner = self.inner_light(jnp.concatenate(
+            [jnp.concatenate([pts, pts], 0),
+             jnp.concatenate([ref_rough, ref_rough_0], 0)], -1))
+        indirect_light, indirect_light_0 = inner[:n], inner[n:]
+
+        ref_enc = posenc(reflective, 6)
+        occ_prob = self.inner_weight(jax.lax.stop_gradient(
+            jnp.concatenate([pts, ref_enc], -1)))
+        occ_prob = occ_prob * 0.5 + 0.5
+        occ_prob_ = jnp.clip(occ_prob, 0.0, 1.0)
+
+        light = (indirect_light * occ_prob_
+                 + (human_light * human_weight + direct_light * (1 - human_weight))
+                 * (1 - occ_prob_))
+        light_0 = (indirect_light_0 * occ_prob_
+                   + (human_light * human_weight + direct_light_0 * (1 - human_weight))
+                   * (1 - occ_prob_))
+        return diffuse_light, (light, light_0, occ_prob,
+                               indirect_light * occ_prob_,
+                               human_light * human_weight)
 
     def predict_diffuse_lights(self, points, normals):
         """field.py:669-682 — outer light at max roughness (vMF prior)."""
@@ -202,13 +268,11 @@ class AppShadingNetwork(nn.Module):
 
         transmission_weight = self.transmission_weight(fx)
         diffuse_albedo = (1 - metallic) * albedo
-        diffuse_light = self.predict_diffuse_lights(points, normals)
+        diffuse_light, (specular_light, specular_light_0, occ_prob,
+                        indirect_light, human_light) = self._lights_batched(
+            points, normals, reflective, roughness, human_poses)
         diffuse_color = diffuse_albedo * diffuse_light
         specular_albedo = 0.04 * (1 - metallic) + metallic * albedo
-
-        (specular_light, specular_light_0, occ_prob, indirect_light,
-         human_light) = self.predict_specular_lights(
-            points, reflective, roughness, human_poses)
 
         reflection_weight = schlick_weight(no_v)
         refraction_light = self.refrac_light(jnp.concatenate(

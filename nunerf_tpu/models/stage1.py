@@ -154,7 +154,14 @@ class ShapeRenderer:
             from nunerf_tpu.fields.sdf import fused_sdf_all
             return fused_sdf_all(self.sdf_net, params["sdf"], x)
         from nunerf_tpu.fields.sdf import sdf_value_feature_grad
-        return sdf_value_feature_grad(self.sdf_net.apply, params["sdf"], x)
+        apply = self.sdf_net.apply
+        if self.cfg.get("sdf_remat"):
+            # reverse-over-reverse materializes O(layers) [N,256] residual
+            # tensors twice; remat recomputes the (MXU-cheap) trunk in each
+            # backward instead of storing it — an HBM-traffic/FLOPs trade
+            apply = jax.checkpoint(
+                apply, policy=jax.checkpoint_policies.nothing_saveable)
+        return sdf_value_feature_grad(apply, params["sdf"], x)
 
     def inv_s(self, params, x):
         return self.var_net.apply(params["var"], x)

@@ -21,6 +21,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the stage-2 grad graph alone costs ~4 min of
+# XLA:CPU compile; caching it cuts repeat suite runs from ~8.5 to <4 min, so
+# the suite keeps getting run (VERDICT round-1 weak #6).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache_cpu")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, not the TPU tunnel")
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"
