@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def warm_up_cos_schedule(lr: float = 5e-4, end_warm: int = 5000,
@@ -16,6 +17,25 @@ def warm_up_cos_schedule(lr: float = 5e-4, end_warm: int = 5000,
         progress = (step - end_warm) / (end_iter - end_warm)
         cos_factor = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
         return lr * jnp.where(step < end_warm, warm_factor, cos_factor)
+
+    return schedule
+
+
+def warm_up_cos_host(lr: float = 5e-4, end_warm: int = 5000,
+                     end_iter: int = 300000, alpha: float = 0.05):
+    """Same schedule evaluated with numpy on the HOST.
+
+    The trainer logs ``lr`` every train_log_step; evaluating the jnp
+    schedule there launches a handful of tiny device programs, and on the
+    remote-compiled axon tunnel each first-time tiny jit costs tens of
+    seconds — a pure-host evaluation keeps logging free."""
+
+    def schedule(step):
+        step = float(step)
+        warm_factor = step / end_warm
+        progress = (step - end_warm) / (end_iter - end_warm)
+        cos_factor = (np.cos(np.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+        return lr * (warm_factor if step < end_warm else cos_factor)
 
     return schedule
 

@@ -30,7 +30,7 @@ from nunerf_tpu.data.ray_store import (
 )
 from nunerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from nunerf_tpu.train.loss import compute_losses
-from nunerf_tpu.train.lr import warm_up_cos_schedule
+from nunerf_tpu.train.lr import warm_up_cos_host, warm_up_cos_schedule
 from nunerf_tpu.train.metrics import compute_psnr, compute_ssim, dump_validation_images
 
 
@@ -162,6 +162,11 @@ class Trainer:
         self.schedule = warm_up_cos_schedule(
             lr=lr_cfg.get("lr", 5e-4), end_warm=lr_cfg.get("end_warm", 5000),
             end_iter=lr_cfg["end_iter"])
+        # host twin for logging (tiny device programs are expensive to launch
+        # first-time over the remote-compiled tunnel)
+        self.schedule_host = warm_up_cos_host(
+            lr=lr_cfg.get("lr", 5e-4), end_warm=lr_cfg.get("end_warm", 5000),
+            end_iter=lr_cfg["end_iter"])
         adam = optax.adam(learning_rate=self.schedule)
         frozen = getattr(self.renderer, "frozen_keys", ())
         if frozen:
@@ -283,7 +288,7 @@ class Trainer:
                 if debug_nan_enabled():
                     check_finite_tree(terms, "loss_terms")
                 scalars = {k: float(np.mean(v)) for k, v in terms.items()}
-                scalars["lr"] = float(self.schedule(step))
+                scalars["lr"] = float(self.schedule_host(step))
                 scalars["rays_per_sec"] = (
                     (step - getattr(self, "_t0_step", start_step))
                     * self.renderer.cfg["train_ray_num"]
