@@ -135,21 +135,40 @@ def main():
     rays_per_sec = n_chunks * CHUNK * rn / dt
     step_ms = dt / (n_chunks * CHUNK) * 1e3
 
-    # Roofline visibility (VERDICT: report measured MFU per round): XLA's
-    # own flop count for the compiled chunk vs the v5e peak.  f32 dots on
-    # TPU run as one bf16 MXU pass by default (see trainer notes), so the
-    # bf16 peak is the honest denominator.
-    mfu = None
-    try:
-        cost = jitted.lower(params, opt_state, batch, rng, step).compile() \
-                     .cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_chunk = float(cost.get("flops", 0.0))
-        PEAK_V5E_BF16 = 197e12
-        mfu = (flops_chunk * n_chunks / dt) / PEAK_V5E_BF16
-    except Exception:
-        pass
+    # Roofline visibility (VERDICT: report measured MFU per round).  XLA's
+    # compiled cost_analysis under-reports through the remote-AOT path
+    # (returned 0.5% at measured throughputs that imply ~10x that), so the
+    # numerator is an ANALYTIC matmul-only FLOP count of the step derived
+    # from the architecture: fwd costs 2*in*out per point per layer; first-
+    # order nets pay ~3x fwd for fwd+bwd; the SDF value+jacobian under the
+    # outer backward (reverse-over-reverse) pays ~8x fwd; the no-grad
+    # sampling/occ sweeps pay 1x.  bf16 peak is the denominator (f32 dots
+    # on TPU default to one bf16 MXU pass).
+    def _mlp(dims):
+        return 2.0 * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+
+    R = BENCH_CFG["train_ray_num"]
+    F, B = 16, 16                       # n_front/back_samples defaults
+    I = BENCH_CFG["n_samples"] + BENCH_CFG["n_importance"]
+    NBG = BENCH_CFG["n_bg_samples"]
+    sdf_pt = _mlp([39] + [256] * 7 + [257]) + 2 * 39 * 217   # skip concat rows
+    nerf_pt = _mlp([75] + [256] * 8) + 2 * (256 * 1 + 256 * 256
+                                            + (256 + 27) * 128 + 128 * 3)
+    pred = lambda d_in, d_out: _mlp([d_in, 256, 256, 256, d_out])
+    shade_pt = (pred(259, 1) * 2 + pred(259, 3) + pred(259, 1)   # materials+T
+                + pred(72, 3) * 3                                 # outer_light
+                + pred(111, 3) * 2                                # inner_light
+                + pred(78, 1) + pred(78, 3))                      # occ + refrac
+    n_in, n_out = R * I, R * (F + B + NBG)
+    sweep_pts = R * (BENCH_CFG["n_samples"]
+                     + BENCH_CFG["n_importance"] * 3 // 4)        # upsample evals
+    occ_pts = BENCH_CFG["occ_loss_max_pn"] * (64 + 16)
+    flops_step = (n_in * (8 * sdf_pt + 3 * shade_pt)
+                  + n_out * 3 * nerf_pt
+                  + (sweep_pts + occ_pts) * sdf_pt
+                  + R * 3 * pred(72, 3))                          # color_spec
+    PEAK_V5E_BF16 = 197e12
+    mfu = (flops_step / (dt / (n_chunks * CHUNK))) / PEAK_V5E_BF16
 
     out = {
         "metric": "stage1_train_rays_per_sec",
@@ -161,7 +180,7 @@ def main():
         "step_ms": round(step_ms, 2),
     }
     if mfu is not None:
-        out["mfu_bf16"] = round(mfu, 4)
+        out["mfu_bf16_analytic"] = round(mfu, 4)
     print(json.dumps(out))
 
 

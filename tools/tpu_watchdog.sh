@@ -1,0 +1,63 @@
+#!/bin/bash
+# Run pipeline legs under a tunnel watchdog.
+#
+# Usage: tools/tpu_watchdog.sh "front" "stage2 3600" ...
+#
+# The axon TPU tunnel in this rig drops for ~tens of minutes at a time
+# (observed twice on 2026-08-20).  A leg caught mid-run then hangs forever in
+# a device wait.  This wrapper (1) waits for the tunnel before starting a
+# leg, (2) probes the tunnel every minute while the leg runs, (3) after 3
+# consecutive failed probes kills the leg's exact process group and restarts
+# it once the tunnel answers — training legs resume from their last
+# checkpoint (save_interval), so at most ~2000 steps are repeated.
+cd "$(dirname "$0")/.."
+
+probe() {
+  timeout 120 python -c "import jax, jax.numpy as jnp; (jnp.ones((8,8))@jnp.ones((8,8))).sum().block_until_ready()" >/dev/null 2>&1
+}
+
+wait_up() {
+  until probe; do echo "$(date) tunnel down; waiting"; sleep 20; done
+  echo "$(date) tunnel up"
+}
+
+run_leg() {
+  local leg="$1" tries=0
+  while [ $tries -lt 8 ]; do
+    tries=$((tries + 1))
+    wait_up
+    setsid bash tools/run_nested_pipeline.sh $leg &
+    local pid=$!
+    local fails=0 killed=0
+    while kill -0 $pid 2>/dev/null; do
+      sleep 60
+      if probe; then
+        fails=0
+      else
+        fails=$((fails + 1))
+        echo "$(date) probe failed ($fails/3)"
+        if [ $fails -ge 3 ]; then
+          echo "$(date) tunnel dead; killing leg pgid $pid (try $tries)"
+          kill -- -$pid 2>/dev/null
+          sleep 5
+          kill -9 -- -$pid 2>/dev/null
+          killed=1
+          break
+        fi
+      fi
+    done
+    if [ $killed -eq 1 ]; then continue; fi
+    wait $pid
+    local rc=$?
+    echo "$(date) leg [$leg] exited rc=$rc (try $tries)"
+    return $rc
+  done
+  echo "$(date) leg [$leg] gave up after $tries tries"
+  return 1
+}
+
+for leg in "$@"; do
+  echo "=== WATCHDOG leg [$leg] ==="
+  run_leg "$leg"
+done
+echo "WATCHDOG DONE"
