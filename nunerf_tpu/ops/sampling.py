@@ -92,19 +92,47 @@ def neus_upsample(rays_o, rays_d, z_vals, sdf, n_importance: int, inv_s) -> jnp.
     return jax.lax.stop_gradient(sample_pdf(z_vals, weights, n_importance, det=True))
 
 
+import os
+
+_MERGE_RANK = os.environ.get("NUNERF_MERGE_RANK", "0") not in ("0", "false", "")
+
+
 def merge_z_vals(z_vals, new_z_vals, sdf, new_sdf=None):
     """Sorted merge of sample positions (renderer.py:569-583).
 
     Returns (z_vals_sorted, sdf_sorted_or_None).
+
+    Both inputs are already sorted ascending, so instead of a full
+    ``argsort`` over the concatenation (a log^2-depth sort network on TPU)
+    the default path computes each element's merged rank by a comparison
+    count against the OTHER list (O(S1*S2) VPU ops, no data-dependent
+    control flow), inverts the permutation with a one-hot contraction, and
+    gathers — identical output to the stable argsort (ties keep ``z_vals``
+    first).  NUNERF_MERGE_RANK=0 restores the argsort path.
     """
     z = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z, axis=-1)
+    s = None if new_sdf is None else jnp.concatenate([sdf, new_sdf], axis=-1)
+    if not _MERGE_RANK:
+        order = jnp.argsort(z, axis=-1)
+    else:
+        s1 = z_vals.shape[-1]
+        s2 = new_z_vals.shape[-1]
+        # merged rank of each element (stable: z_vals wins ties)
+        r1 = jnp.arange(s1) + jnp.sum(
+            new_z_vals[..., None, :] < z_vals[..., :, None], axis=-1)
+        r2 = jnp.arange(s2) + jnp.sum(
+            z_vals[..., None, :] <= new_z_vals[..., :, None], axis=-1)
+        rank = jnp.concatenate([r1, r2], axis=-1)          # [.., S] a permutation
+        # inverse permutation via one-hot contraction (no scatter); f32
+        # accumulation is exact for these small integers and VPU-friendly
+        n = s1 + s2
+        onehot = (rank[..., None] == jnp.arange(n)).astype(jnp.float32)
+        order = jnp.einsum("...sk,s->...k", onehot,
+                           jnp.arange(n, dtype=jnp.float32)).astype(jnp.int32)
     z = jnp.take_along_axis(z, order, axis=-1)
-    if new_sdf is None:
+    if s is None:
         return z, None
-    s = jnp.concatenate([sdf, new_sdf], axis=-1)
-    s = jnp.take_along_axis(s, order, axis=-1)
-    return z, s
+    return z, jnp.take_along_axis(s, order, axis=-1)
 
 
 def get_weights(sdf_fn, inv_s_fn, z_vals, origins, dirs):
