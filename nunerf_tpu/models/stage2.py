@@ -168,6 +168,18 @@ class Stage2Renderer:
         """
         train = params["train"]
         freeze_ior = self.cfg.get("freeze_ior_step", 0)
+        # round-3 finding (docs/nested_walkthrough.md): releasing the IoR at
+        # a fixed step lets it drift toward eta=1 while NeuS is still soft
+        # (measured: IoR 1.5 -> 1.19 by 40k with inv_s only 52), and the
+        # inflated geometry compensates the under-bent rays.  Optional gate:
+        # keep the glass prior until the inner surface has hardened.
+        freeze_inv_s_thr = self.cfg.get("freeze_ior_inv_s")
+        hard_enough = None
+        if freeze_inv_s_thr:
+            inv_s_now = jax.lax.stop_gradient(
+                self.var_inner.apply(train["var_inner"],
+                                     jnp.zeros((1, 3)))[0, 0])
+            hard_enough = inv_s_now >= freeze_inv_s_thr
         bounces = []
         start, direc = rays_o, normalize(rays_d)
         active = jnp.ones(rays_o.shape[0], bool)
@@ -189,7 +201,10 @@ class Stage2Renderer:
             sin2_i = 1.0 - cos_i * cos_i
             ior = self.ior_net.apply(train["ior"], res["pos"])
             if freeze_ior and step is not None:
-                ior = jax.lax.cond(step < freeze_ior,
+                frozen_now = step < freeze_ior
+                if hard_enough is not None:
+                    frozen_now = frozen_now | ~hard_enough
+                ior = jax.lax.cond(frozen_now,
                                    lambda v: jax.lax.stop_gradient(v),
                                    lambda v: v, ior)
             eta = 1.0 / (ior + 1.0)           # IoR map (:1642-1643)

@@ -212,3 +212,32 @@ def test_bg_sampling_reaches_stage1_tail(stage2_setup):
         pts - np.asarray(o)[:, None, :], axis=-1)), axis=1)
             == np.asarray(jnp.linalg.norm(
                 pts - np.asarray(o)[:, None, :], axis=-1))).all()
+
+
+def test_freeze_ior_inv_s_gate(stage2_setup):
+    """freeze_ior_inv_s: past freeze_ior_step the IoR field still receives
+    ZERO gradient until the inner NeuS inv_s crosses the threshold
+    (round-3 drift fix, models/stage2.py ray_trace)."""
+    base, params = stage2_setup
+    cfg = dict(S2_CFG, freeze_ior_step=5, freeze_ior_inv_s=1e6)
+    renderer = Stage2Renderer(cfg, scene=base.scene,
+                              stage1_params=base.stage1_params)
+    o, d = _camera_rays(8)
+
+    def ior_grad(r, step):
+        def loss(p):
+            bounces, _ = r.ray_trace(p, o, d, jnp.asarray(step, jnp.int32))
+            return sum(jnp.sum(b["next_dir"] ** 2) for b in bounces)
+        g = jax.grad(loss)(params)
+        return sum(float(jnp.sum(jnp.abs(x)))
+                   for x in jax.tree_util.tree_leaves(g["train"]["ior"]))
+
+    # inv_s (init ~3.3) < 1e6 threshold -> frozen even at step 100
+    assert ior_grad(renderer, 100) == 0.0
+    # threshold met (tiny) -> trains past freeze_ior_step
+    cfg2 = dict(S2_CFG, freeze_ior_step=5, freeze_ior_inv_s=0.5)
+    r2 = Stage2Renderer(cfg2, scene=base.scene,
+                        stage1_params=base.stage1_params)
+    assert ior_grad(r2, 100) > 0.0
+    # and still frozen BEFORE freeze_ior_step regardless
+    assert ior_grad(r2, 2) == 0.0
