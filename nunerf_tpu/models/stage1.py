@@ -151,6 +151,12 @@ class ShapeRenderer:
         value+jacobian kernel instead.
         """
         if self.fused_sdf:
+            if self.cfg.get("sdf_remat") and not getattr(
+                    self, "_warned_remat_fused", False):
+                # make the no-op combination visible in A/B perf runs
+                print("WARNING: sdf_remat has no effect with fused_sdf "
+                      "(the fused kernel takes the branch first)")
+                self._warned_remat_fused = True
             from nunerf_tpu.fields.sdf import fused_sdf_all
             return fused_sdf_all(self.sdf_net, params["sdf"], x)
         from nunerf_tpu.fields.sdf import sdf_value_feature_grad

@@ -200,7 +200,10 @@ class Stage2Renderer:
             cos_i = jnp.sum(normal * -direc, axis=-1, keepdims=True)
             sin2_i = 1.0 - cos_i * cos_i
             ior = self.ior_net.apply(train["ior"], res["pos"])
-            if freeze_ior and step is not None:
+            frozen_now = None
+            # either gate alone activates the freeze branch (freeze_ior=0
+            # contributes `step < 0` = never; the inv_s gate then rules)
+            if (freeze_ior or hard_enough is not None) and step is not None:
                 frozen_now = step < freeze_ior
                 if hard_enough is not None:
                     frozen_now = frozen_now | ~hard_enough
@@ -226,7 +229,9 @@ class Stage2Renderer:
                 "start": start, "dir": direc, "active": active,
                 "hit": hit, "conv": conv, "pos": res["pos"],
                 "normal": normal, "eta": eta,
-                "next_dir": next_dir,
+                "next_dir": next_dir, "ior_raw": ior,
+                "ior_frozen": jnp.asarray(
+                    frozen_now if frozen_now is not None else 0, jnp.float32),
             })
             start, direc, active = next_start, next_dir, conv
 
@@ -566,10 +571,21 @@ class Stage2Renderer:
                                   current_T)
 
         ray_rgb = jnp.clip(linear_to_srgb(total_color), 0.0, 1.0)
+        # training observability: mean glass IoR at the entry interface
+        # (map 1/(x+1) => n_glass = x+1, renderer_zerothick.py:1642) and
+        # whether the freeze gate held this step — the round-3 failure mode
+        # (IoR drift while NeuS was soft) was invisible in the train log
+        b0 = bounces[0]
+        hitf = b0["hit"].astype(jnp.float32)
+        ior_glass = jax.lax.stop_gradient(
+            jnp.sum((b0["ior_raw"][..., 0] + 1.0) * hitf)
+            / (jnp.sum(hitf) + 1e-8))
         outputs.update({
             "ray_rgb": ray_rgb,
             "gradient_error": grad_err,
             "std": std_out,
+            "ior_glass": ior_glass,
+            "ior_frozen": b0["ior_frozen"],
             "acc": jnp.ones((rn,)),
             "tir_mask": jax.lax.stop_gradient(tir_mask[:, None].astype(jnp.float32)),
             "normal": normals_out,

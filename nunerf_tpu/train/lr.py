@@ -6,17 +6,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _warm_up_cos(xp, step, lr, end_warm, end_iter, alpha):
+    """One formula for both the traced (jnp) and host (np) evaluations —
+    a single source of truth so the logged lr can never silently diverge
+    from the lr fed to optax."""
+    warm_factor = step / end_warm
+    progress = (step - end_warm) / (end_iter - end_warm)
+    cos_factor = (xp.cos(xp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+    return lr * xp.where(step < end_warm, warm_factor, cos_factor)
+
+
 def warm_up_cos_schedule(lr: float = 5e-4, end_warm: int = 5000,
                          end_iter: int = 300000, alpha: float = 0.05):
     """Linear warm-up then cosine decay to ``alpha * lr`` — an optax-style
     schedule function usable directly in ``optax.adam``."""
 
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
-        warm_factor = step / end_warm
-        progress = (step - end_warm) / (end_iter - end_warm)
-        cos_factor = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
-        return lr * jnp.where(step < end_warm, warm_factor, cos_factor)
+        return _warm_up_cos(jnp, jnp.asarray(step, jnp.float32),
+                            lr, end_warm, end_iter, alpha)
 
     return schedule
 
@@ -31,11 +38,8 @@ def warm_up_cos_host(lr: float = 5e-4, end_warm: int = 5000,
     seconds — a pure-host evaluation keeps logging free."""
 
     def schedule(step):
-        step = float(step)
-        warm_factor = step / end_warm
-        progress = (step - end_warm) / (end_iter - end_warm)
-        cos_factor = (np.cos(np.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
-        return lr * (warm_factor if step < end_warm else cos_factor)
+        return float(_warm_up_cos(np, np.float32(step),
+                                  lr, end_warm, end_iter, alpha))
 
     return schedule
 

@@ -223,3 +223,38 @@ def test_get_intersection_sphere_sdf():
     z2, w2, s2 = get_intersection(sdf_fn, inv_s_fn, far_pts, dirs[:2])
     np.testing.assert_allclose(w2, 0.0, atol=1e-7)
     np.testing.assert_allclose(s2, -1.0, atol=1e-7)
+
+
+def test_merge_z_vals_rank_path_matches_argsort(monkeypatch):
+    """The env-gated rank merge must be bit-identical to the stable argsort
+    on sorted inputs including ties (the sorted-ascending precondition is
+    load-bearing for the comparison-count ranks, not just a fast path)."""
+    import nunerf_tpu.ops.sampling as sampling
+
+    rs = np.random.RandomState(0)
+    for trial in range(20):
+        s1, s2 = rs.randint(2, 9), rs.randint(2, 9)
+        a = np.sort(rs.randint(0, 6, size=(3, s1)).astype(np.float32), -1)
+        b = np.sort(rs.randint(0, 6, size=(3, s2)).astype(np.float32), -1)
+        sa = rs.randn(3, s1).astype(np.float32)
+        sb = rs.randn(3, s2).astype(np.float32)
+
+        monkeypatch.setattr(sampling, "_MERGE_RANK", False)
+        z_ref, s_ref = sampling.merge_z_vals(jnp.asarray(a), jnp.asarray(b),
+                                             jnp.asarray(sa), jnp.asarray(sb))
+        monkeypatch.setattr(sampling, "_MERGE_RANK", True)
+        z_rank, s_rank = sampling.merge_z_vals(jnp.asarray(a), jnp.asarray(b),
+                                               jnp.asarray(sa), jnp.asarray(sb))
+        np.testing.assert_array_equal(np.asarray(z_ref), np.asarray(z_rank))
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_rank))
+
+
+def test_warm_up_cos_host_matches_device_schedule():
+    """The host logging twin and the optax schedule must agree (they are
+    derived from one formula; this pins that contract)."""
+    from nunerf_tpu.train.lr import warm_up_cos_host, warm_up_cos_schedule
+
+    dev = warm_up_cos_schedule(lr=3e-4, end_warm=1000, end_iter=60000)
+    host = warm_up_cos_host(lr=3e-4, end_warm=1000, end_iter=60000)
+    for step in (0, 1, 500, 999, 1000, 1001, 15000, 59999, 60000):
+        np.testing.assert_allclose(float(dev(step)), host(step), rtol=1e-6)
