@@ -183,9 +183,28 @@ def _fwd_kernel(spec, n_rows, x_ref, *refs):
     out_ref[:] = out.astype(jnp.float32)
 
 
-def _make_bwd_kernel(spec, n_rows):
+def _bwd_mode() -> str:
+    """dW strategy for the chain-MLP backward kernel.
+
+    ``accum``: every grid step read-modify-writes one shared dW block —
+    minimal HBM traffic but serializes the tile pipeline on the revisited
+    block (the measured round-3 loss vs XLA).
+    ``partial`` (default): each grid step writes its OWN dW slot (leading
+    grid dim); XLA reduces over slots afterwards.  Trades ~G x |W| of HBM
+    writes (~0.5 ms at 131k pts / 512-row tiles on v5e) for an unstalled
+    pipeline — the round-4 design from docs/perf_notes.md."""
+    return os.environ.get("NUNERF_FUSED_BWD", "partial")
+
+
+def _make_bwd_kernel(spec, n_rows, partial=False):
     counts, nw = _weights_per_layer(spec)
     n_l = spec.n_layers
+
+    def _emit(ref, val, pid):
+        if partial:
+            ref[:] = val[None]
+        else:
+            _accum(ref, val, pid)
 
     def kernel(x_ref, g_ref, *refs):
         w_refs = refs[:nw]
@@ -215,7 +234,7 @@ def _make_bwd_kernel(spec, n_rows):
             gz = g * _act_grad_from_a(spec.acts[l], a.astype(jnp.float32))
             # z = (h@W_h + x0@W_x)*s + b: the scale touches the dot terms
             # only, so db uses the unscaled gz
-            _accum(db_refs[l], jnp.sum(gz, axis=0, keepdims=True), i)
+            _emit(db_refs[l], jnp.sum(gz, axis=0, keepdims=True), i)
             if spec.scales[l] != 1.0:
                 gz = gz * spec.scales[l]
             gz_c = gz.astype(dtype)
@@ -229,14 +248,14 @@ def _make_bwd_kernel(spec, n_rows):
                 dw_x = jax.lax.dot_general(
                     x0, gz_c, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                _accum(dw_refs[wi], dw_x, i)
+                _emit(dw_refs[wi], dw_x, i)
                 dx = dx + jnp.dot(gz_c, weights_t[wi],
                                   preferred_element_type=jnp.float32)
             wi -= 1
             dw_h = jax.lax.dot_general(
                 h_prev, gz_c, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            _accum(dw_refs[wi], dw_h, i)
+            _emit(dw_refs[wi], dw_h, i)
 
             gh = jnp.dot(gz_c, weights_t[wi],
                          preferred_element_type=jnp.float32)
@@ -332,21 +351,37 @@ def _bwd_call(spec, x, g, flat):
         in_specs.append(pl.BlockSpec((1, spec.dims[l + 1]), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
+    partial = _bwd_mode() == "partial"
+    n_tiles = grid[0]
+
     out_shapes = [jax.ShapeDtypeStruct((n, e), jnp.float32)]
     out_specs = [pl.BlockSpec((t, e), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     for s in w_shapes:
-        out_shapes.append(jax.ShapeDtypeStruct(s, jnp.float32))
-        out_specs.append(pl.BlockSpec(s, lambda i: (0, 0),
-                                      memory_space=pltpu.VMEM))
+        if partial:
+            out_shapes.append(jax.ShapeDtypeStruct((n_tiles,) + s,
+                                                   jnp.float32))
+            out_specs.append(pl.BlockSpec((1,) + s, lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+        else:
+            out_shapes.append(jax.ShapeDtypeStruct(s, jnp.float32))
+            out_specs.append(pl.BlockSpec(s, lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
     for l in range(spec.n_layers):
-        out_shapes.append(jax.ShapeDtypeStruct((1, spec.dims[l + 1]),
-                                               jnp.float32))
-        out_specs.append(pl.BlockSpec((1, spec.dims[l + 1]), lambda i: (0, 0),
-                                      memory_space=pltpu.VMEM))
+        bshape = (1, spec.dims[l + 1])
+        if partial:
+            out_shapes.append(jax.ShapeDtypeStruct((n_tiles,) + bshape,
+                                                   jnp.float32))
+            out_specs.append(pl.BlockSpec((1,) + bshape,
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+        else:
+            out_shapes.append(jax.ShapeDtypeStruct(bshape, jnp.float32))
+            out_specs.append(pl.BlockSpec(bshape, lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
 
     flops = 6 * n * sum(a * b for a, b in w_shapes)
-    kernel = _make_bwd_kernel(spec, n)
+    kernel = _make_bwd_kernel(spec, n, partial)
     res = pl.pallas_call(
         kernel,
         grid=grid,
@@ -362,6 +397,9 @@ def _bwd_call(spec, x, g, flat):
     dx = res[0]
     dws = res[1:1 + nw]
     dbs = res[1 + nw:]
+    if partial:
+        dws = [jnp.sum(d, axis=0) for d in dws]
+        dbs = [jnp.sum(d, axis=0) for d in dbs]
     return dx, tuple(dws) + tuple(dbs)
 
 

@@ -40,7 +40,9 @@ def _make_flat(spec):
     (ChainSpec((128, 128, 128, 128), ("softplus100", "softplus100", "none"),
                (False, True, False), (1.0, 1 / math.sqrt(2), 1.0)), 200),
 ])
-def test_fused_chain_parity(spec, n):
+@pytest.mark.parametrize("bwd_mode", ["accum", "partial"])
+def test_fused_chain_parity(spec, n, bwd_mode, monkeypatch):
+    monkeypatch.setenv("NUNERF_FUSED_BWD", bwd_mode)
     flat = _make_flat(spec)
     x = jnp.asarray(rs.randn(n, spec.dims[0]).astype(np.float32))
     y1 = fused_chain_mlp(spec, x, *flat)
