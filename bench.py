@@ -138,27 +138,38 @@ def main():
     # Roofline visibility (VERDICT: report measured MFU per round).  XLA's
     # compiled cost_analysis under-reports through the remote-AOT path
     # (returned 0.5% at measured throughputs that imply ~10x that), so the
-    # numerator is an ANALYTIC matmul-only FLOP count of the step derived
-    # from the architecture: fwd costs 2*in*out per point per layer; first-
+    # numerator is an ANALYTIC matmul-only FLOP count of the step.  Per-net
+    # per-point FLOPs are DERIVED from the actual parameter pytree (2*in*out
+    # per 2-D kernel) so an architecture tweak can't silently skew the
+    # number; only the evaluation-count multipliers are hand-written: first-
     # order nets pay ~3x fwd for fwd+bwd; the SDF value+jacobian under the
     # outer backward (reverse-over-reverse) pays ~8x fwd; the no-grad
     # sampling/occ sweeps pay 1x.  bf16 peak is the denominator (f32 dots
     # on TPU default to one bf16 MXU pass).
-    def _mlp(dims):
-        return 2.0 * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    def _kernel_flops(tree):
+        return 2.0 * sum(l.shape[0] * l.shape[1]
+                         for l in jax.tree_util.tree_leaves(tree)
+                         if getattr(l, "ndim", 0) == 2)
 
+    def _heads(tree):
+        # unwrap flax's {'params': {...}} nesting to the per-head dict
+        while isinstance(tree, dict) and len(tree) == 1:
+            tree = next(iter(tree.values()))
+        return tree
+
+    host_params = jax.device_get(params)
     R = BENCH_CFG["train_ray_num"]
     F, B = 16, 16                       # n_front/back_samples defaults
     I = BENCH_CFG["n_samples"] + BENCH_CFG["n_importance"]
     NBG = BENCH_CFG["n_bg_samples"]
-    sdf_pt = _mlp([39] + [256] * 7 + [257]) + 2 * 39 * 217   # skip concat rows
-    nerf_pt = _mlp([75] + [256] * 8) + 2 * (256 * 1 + 256 * 256
-                                            + (256 + 27) * 128 + 128 * 3)
-    pred = lambda d_in, d_out: _mlp([d_in, 256, 256, 256, d_out])
-    shade_pt = (pred(259, 1) * 2 + pred(259, 3) + pred(259, 1)   # materials+T
-                + pred(72, 3) * 3                                 # outer_light
-                + pred(111, 3) * 2                                # inner_light
-                + pred(78, 1) + pred(78, 3))                      # occ + refrac
+    sdf_pt = _kernel_flops(host_params["sdf"])
+    nerf_pt = _kernel_flops(host_params["nerf"])
+    heads = _heads(host_params["shade"])
+    # heads evaluated more than once per surface point (stage1.py shading:
+    # outer_light at 3 encodings, inner_light at 2)
+    head_evals = {"outer_light": 3, "inner_light": 2}
+    shade_pt = sum(head_evals.get(k, 1) * _kernel_flops(v)
+                   for k, v in heads.items())
     n_in, n_out = R * I, R * (F + B + NBG)
     sweep_pts = R * (BENCH_CFG["n_samples"]
                      + BENCH_CFG["n_importance"] * 3 // 4)        # upsample evals
@@ -166,7 +177,7 @@ def main():
     flops_step = (n_in * (8 * sdf_pt + 3 * shade_pt)
                   + n_out * 3 * nerf_pt
                   + (sweep_pts + occ_pts) * sdf_pt
-                  + R * 3 * pred(72, 3))                          # color_spec
+                  + R * 3 * _kernel_flops(heads["outer_light"]))  # color_spec
     PEAK_V5E_BF16 = 197e12
     mfu = (flops_step / (dt / (n_chunks * CHUNK))) / PEAK_V5E_BF16
 

@@ -149,6 +149,37 @@ class Stage2Renderer:
     def inner_sdf(self, params, pts):
         return self.sdf_inner.apply(params["train"]["sdf_inner"], pts)[..., :1]
 
+    # ----- freeze gates -------------------------------------------------
+    def _freeze_flag(self, train, step, step_key, thr_key):
+        """Traced bool: hold a physical field (IoR / thickness) at its init.
+
+        ``cfg[step_key]``: freeze while step < value; ``cfg[thr_key]``:
+        additionally freeze until the inner NeuS has hardened
+        (inv_s >= threshold).  Returns None when no gate is configured —
+        reference-parity behavior (the reference never freezes).  Rationale:
+        while the inner geometry is soft, a painted light field out-competes
+        physics and the field drifts to a trivial value (measured round 3:
+        IoR 1.5 -> 1.19, shell thickness 0.005 -> 0.0007)."""
+        fs = self.cfg.get(step_key, 0) or 0
+        thr = self.cfg.get(thr_key)
+        if step is None or (not fs and not thr):
+            return None
+        frozen = jnp.asarray(step < fs)
+        if thr:
+            inv_s_now = jax.lax.stop_gradient(
+                self.var_inner.apply(train["var_inner"],
+                                     jnp.zeros((1, 3)))[0, 0])
+            frozen = frozen | (inv_s_now < thr)
+        return frozen
+
+    @staticmethod
+    def _maybe_freeze(val, frozen):
+        if frozen is None:
+            return val
+        return jax.lax.cond(frozen,
+                            lambda v: jax.lax.stop_gradient(v),
+                            lambda v: v, val)
+
     # ----- ray tracing --------------------------------------------------
     def ray_trace(self, params, rays_o, rays_d, step=None):
         """3-bounce Snell trace through the outer mesh
@@ -167,19 +198,13 @@ class Stage2Renderer:
         failure mode.
         """
         train = params["train"]
-        freeze_ior = self.cfg.get("freeze_ior_step", 0)
         # round-3 finding (docs/nested_walkthrough.md): releasing the IoR at
         # a fixed step lets it drift toward eta=1 while NeuS is still soft
         # (measured: IoR 1.5 -> 1.19 by 40k with inv_s only 52), and the
-        # inflated geometry compensates the under-bent rays.  Optional gate:
-        # keep the glass prior until the inner surface has hardened.
-        freeze_inv_s_thr = self.cfg.get("freeze_ior_inv_s")
-        hard_enough = None
-        if freeze_inv_s_thr:
-            inv_s_now = jax.lax.stop_gradient(
-                self.var_inner.apply(train["var_inner"],
-                                     jnp.zeros((1, 3)))[0, 0])
-            hard_enough = inv_s_now >= freeze_inv_s_thr
+        # inflated geometry compensates the under-bent rays — hence the
+        # optional inv_s gate on top of the fixed step (see _freeze_flag).
+        frozen_ior = self._freeze_flag(train, step,
+                                       "freeze_ior_step", "freeze_ior_inv_s")
         bounces = []
         start, direc = rays_o, normalize(rays_d)
         active = jnp.ones(rays_o.shape[0], bool)
@@ -199,17 +224,8 @@ class Stage2Renderer:
 
             cos_i = jnp.sum(normal * -direc, axis=-1, keepdims=True)
             sin2_i = 1.0 - cos_i * cos_i
-            ior = self.ior_net.apply(train["ior"], res["pos"])
-            frozen_now = None
-            # either gate alone activates the freeze branch (freeze_ior=0
-            # contributes `step < 0` = never; the inv_s gate then rules)
-            if (freeze_ior or hard_enough is not None) and step is not None:
-                frozen_now = step < freeze_ior
-                if hard_enough is not None:
-                    frozen_now = frozen_now | ~hard_enough
-                ior = jax.lax.cond(frozen_now,
-                                   lambda v: jax.lax.stop_gradient(v),
-                                   lambda v: v, ior)
+            ior = self._maybe_freeze(
+                self.ior_net.apply(train["ior"], res["pos"]), frozen_ior)
             eta = 1.0 / (ior + 1.0)           # IoR map (:1642-1643)
             if not outside:
                 eta = 1.0 / eta               # reciprocal when exiting (:1653)
@@ -231,7 +247,7 @@ class Stage2Renderer:
                 "normal": normal, "eta": eta,
                 "next_dir": next_dir, "ior_raw": ior,
                 "ior_frozen": jnp.asarray(
-                    frozen_now if frozen_now is not None else 0, jnp.float32),
+                    frozen_ior if frozen_ior is not None else 0, jnp.float32),
             })
             start, direc, active = next_start, next_dir, conv
 
@@ -572,14 +588,21 @@ class Stage2Renderer:
 
         ray_rgb = jnp.clip(linear_to_srgb(total_color), 0.0, 1.0)
         # training observability: mean glass IoR at the entry interface
-        # (map 1/(x+1) => n_glass = x+1, renderer_zerothick.py:1642) and
-        # whether the freeze gate held this step — the round-3 failure mode
-        # (IoR drift while NeuS was soft) was invisible in the train log
+        # (zero-thick map 1/(x+1) => n_glass = x+1, renderer_zerothick.py:1642;
+        # shell map 1/(x+0.6), renderer.py:1727) and whether the freeze gate
+        # held this step — the round-3 failure mode (IoR drift while NeuS was
+        # soft) was invisible in the train log
         b0 = bounces[0]
         hitf = b0["hit"].astype(jnp.float32)
+        ior_off = self.cfg.get("ior_offset", 1.0)
         ior_glass = jax.lax.stop_gradient(
-            jnp.sum((b0["ior_raw"][..., 0] + 1.0) * hitf)
+            jnp.sum((b0["ior_raw"][..., 0] + ior_off) * hitf)
             / (jnp.sum(hitf) + 1e-8))
+        if "thickness" in b0:  # shell mode: mean learned shell thickness
+            outputs["thickness_mean"] = jax.lax.stop_gradient(
+                jnp.sum(b0["thickness"][..., 0] * hitf)
+                / (jnp.sum(hitf) + 1e-8))
+            outputs["thickness_frozen"] = b0["thickness_frozen"]
         outputs.update({
             "ray_rgb": ray_rgb,
             "gradient_error": grad_err,

@@ -91,7 +91,15 @@ class Stage2ShellRenderer(Stage2Renderer):
         ``freeze_ior_step``: see models/stage2.py ray_trace."""
         cfg = self.cfg
         train = params["train"]
-        freeze_ior = cfg.get("freeze_ior_step", 0)
+        frozen_ior = self._freeze_flag(train, step,
+                                       "freeze_ior_step", "freeze_ior_inv_s")
+        # round-3 shell finding (runs/chain_shell2.log): the thickness field
+        # collapsed from its 0.005 init to 0.0007 (GT 0.008) while the inner
+        # NeuS stayed fog (inv_s fell to 12.6) — zero thickness makes the
+        # shell a no-op slab whose bending the inner light field then paints.
+        # Same cure as IoR: hold the init until geometry is ready.
+        frozen_th = self._freeze_flag(train, step, "freeze_thickness_step",
+                                      "freeze_thickness_inv_s")
         bounces = []
         start, direc = rays_o, normalize(rays_d)
         active = jnp.ones(rays_o.shape[0], bool)
@@ -113,17 +121,15 @@ class Stage2ShellRenderer(Stage2Renderer):
             r = 1.0 / safe_sqrt(jnp.abs(K), 1e-6)
             r = jnp.nan_to_num(r, nan=0.1)
 
-            ior = self.ior_net.apply(train["ior"], res["pos"])
-            if freeze_ior and step is not None:
-                ior = jax.lax.cond(step < freeze_ior,
-                                   lambda v: jax.lax.stop_gradient(v),
-                                   lambda v: v, ior)
+            ior = self._maybe_freeze(
+                self.ior_net.apply(train["ior"], res["pos"]), frozen_ior)
             eta1 = 1.0 / (ior + cfg["ior_offset"])
             # inner medium assumed air (renderer.py:1732-1734)
             eta_inner = jnp.full_like(eta1, 1.0 / 1.0001)
             eta2 = eta_inner / eta1
-            thickness = self.thickness_net.apply(
-                train["thickness"], res["pos"]) * cfg["thickness_scale"]
+            thickness = self._maybe_freeze(
+                self.thickness_net.apply(train["thickness"], res["pos"]),
+                frozen_th) * cfg["thickness_scale"]
             if not outside:
                 eta1, eta2 = 1.0 / eta2, 1.0 / eta1
 
@@ -198,7 +204,12 @@ class Stage2ShellRenderer(Stage2Renderer):
                 "start": start, "dir": direc, "active": active,
                 "hit": hit, "conv": conv, "pos": iface_pt,
                 "normal": iface_normal, "eta": eta1,
-                "next_dir": next_dir,
+                "next_dir": next_dir, "ior_raw": ior,
+                "ior_frozen": jnp.asarray(
+                    frozen_ior if frozen_ior is not None else 0, jnp.float32),
+                "thickness": thickness,
+                "thickness_frozen": jnp.asarray(
+                    frozen_th if frozen_th is not None else 0, jnp.float32),
             })
             start, direc, active = next_start, next_dir, conv
 

@@ -45,7 +45,8 @@ def std_recorder(outputs, batch, step, cfg):
         out["std"] = outputs["std"]
         if cfg.get("apply_std_loss", False):
             out["loss_std"] = outputs["std"] * cfg.get("std_loss_weight", 0.01)
-    for k in ("inner_std", "outer_std", "ior_glass", "ior_frozen"):
+    for k in ("inner_std", "outer_std", "ior_glass", "ior_frozen",
+              "thickness_mean", "thickness_frozen"):
         if k in outputs:
             out[k] = outputs[k]
     return out

@@ -45,9 +45,9 @@ shell_front() {
   echo "=== shell stage-1 train ==="
   python -m nunerf_tpu.cli train --cfg configs/shape/nerf/nested_shell.yaml
   echo "=== shell extract outer mesh ==="
-  python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/nerf/nested_shell.yaml --resolution 384
+  python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/nerf/nested_shell.yaml --resolution 512
   python -m nunerf_tpu.cli eval-geometry \
-      --mesh data/meshes/nested_shell-20000_simplified.ply --gt datasets/nested_shell/gt_outer.npy
+      --mesh data/meshes/nested_shell-30000_simplified.ply --gt datasets/nested_shell/gt_outer.npy
 }
 
 shell_stage2() {
@@ -61,7 +61,7 @@ shell_stage2() {
   local inner
   inner=$(ls -t data/meshes/nested_shell_s2-*-inner.ply | head -1)
   python -m nunerf_tpu.cli postprocess-stage2 \
-      --input "$inner" --outer data/meshes/nested_shell-20000_simplified.ply
+      --input "$inner" --outer data/meshes/nested_shell-30000_simplified.ply
   python -m nunerf_tpu.cli eval-geometry \
       --mesh "${inner%.ply}_post.ply" --gt datasets/nested_shell/gt_inner.npy
 }
