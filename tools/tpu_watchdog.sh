@@ -29,10 +29,35 @@ run_leg() {
     setsid bash tools/run_nested_pipeline.sh $leg &
     local pid=$!
     local fails=0 killed=0
+    # stall detector: a leg that hung mid-RPC during a *transient* drop never
+    # recovers even after the tunnel returns (observed round 4: trainer idle
+    # 20+ min at step 19600 with probes green).  Track the leg process
+    # group's accumulated CPU seconds; no growth for STALL_MAX consecutive
+    # probes while the tunnel answers => hung => restart from checkpoint.
+    # Threshold is generous (15 min) because remote-AOT compiles keep the
+    # host near-idle legitimately for up to ~10 min.
+    local STALL_MAX=15 stall=0 last_cpu=-1
     while kill -0 $pid 2>/dev/null; do
       sleep 60
       if probe; then
         fails=0
+        local cpu
+        cpu=$(ps -o cputimes= -g $pid 2>/dev/null | awk '{s+=$1} END {print s+0}')
+        if [ "$cpu" = "$last_cpu" ]; then
+          stall=$((stall + 1))
+          [ $stall -ge 3 ] && echo "$(date) leg idle ($stall/$STALL_MAX, cpu=${cpu}s)"
+        else
+          stall=0
+          last_cpu=$cpu
+        fi
+        if [ $stall -ge $STALL_MAX ]; then
+          echo "$(date) leg hung (no CPU progress ${STALL_MAX}m, tunnel up); killing pgid $pid (try $tries)"
+          kill -- -$pid 2>/dev/null
+          sleep 5
+          kill -9 -- -$pid 2>/dev/null
+          killed=1
+          break
+        fi
       else
         fails=$((fails + 1))
         echo "$(date) probe failed ($fails/3)"
