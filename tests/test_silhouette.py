@@ -86,7 +86,8 @@ def test_primary_visibility_gradients(sphere_scene):
                                             verts=verts)
         return jnp.sum(jnp.where(o["valid"], o["value"], 0.0))
 
-    g = jax.grad(total_cov)(sphere_scene.verts)
+    # jitted so the persistent compile cache keeps repeat runs fast
+    g = jax.jit(jax.grad(total_cov))(sphere_scene.verts)
     gn = np.linalg.norm(np.asarray(g), axis=-1)
     assert np.isfinite(gn).all()
     assert (gn > 0).sum() > 10

@@ -123,7 +123,10 @@ def test_stage2_grads_flow_to_trainables(stage2_setup):
         terms = compute_losses(outputs, batch, 10, renderer.cfg)
         return terms["loss_total"]
 
-    grads = jax.grad(loss_fn)(params)
+    # jit the grad: eager (op-by-op) evaluation of the stage-2 backward
+    # takes ~270s on the CPU mesh and can't hit the persistent compile
+    # cache; the jitted graph compiles once and reloads in seconds
+    grads = jax.jit(jax.grad(loss_fn))(params)
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
 
