@@ -261,10 +261,25 @@ class AppShadingNetwork(nn.Module):
         albedo = self.albedo_predictor(fx)
 
         if self.diffuse_only:
-            # field.py:1244-1277 — pure diffuse inner shader
-            diffuse_light = self.predict_diffuse_lights(points, normals)
+            # AppShadingNetwork_DiffuseInner (field.py:1245-1257): every head
+            # is still evaluated — metallic and transmission multiplied by 0,
+            # exactly as the reference class does — so the parameter tree is
+            # IDENTICAL to the full shader and a checkpointed run can resume
+            # with this flag flipped; the color is pure diffuse.
+            metallic = metallic * 0.0
+            transmission_weight = self.transmission_weight(fx) * 0.0
+            diffuse_light, (_sl, _sl0, occ_prob, _il, _hl) = \
+                self._lights_batched(points, normals, reflective, roughness,
+                                     human_poses)
+            # traced but unused (XLA drops it): keeps the refrac_light head
+            # in the init so the parameter tree matches the full shader
+            _ = self.refrac_light(jnp.concatenate(
+                [posenc(points, self.refrac_freq),
+                 posenc(view_dirs, self.refrac_freq)], -1))
             color = linear_to_srgb(albedo * diffuse_light)
-            return color, {"reflective": reflective}
+            return color, {"reflective": reflective, "occ_prob": occ_prob,
+                           "transmission_weight": transmission_weight,
+                           "metallic": metallic}
 
         transmission_weight = self.transmission_weight(fx)
         diffuse_albedo = (1 - metallic) * albedo

@@ -101,9 +101,20 @@ class Stage2Renderer:
         self.var_inner = SingleVarianceNetwork(
             init_val=self.cfg["inv_s_init"], activation=self.cfg["std_act"])
         dtype = jnp.bfloat16 if self.cfg.get("mixed_precision", True) else None
+        # cfg inner_diffuse_only selects the reference's DiffuseInner inner
+        # shader (field.py:1127-1283; metallic x0, transmission x0, pure
+        # diffuse color).  Round-4 finding on the nested scene: the full
+        # shader's transmission + view-dependent refrac_light let the
+        # inflated inner surface FAKE the background seen through the glass
+        # (a translucent veil in the validation dumps), which collapses the
+        # carving gradient — with an opaque lambertian inner object the
+        # diffuse shader is the physically right capacity.  The parameter
+        # tree is identical either way, so a checkpointed run can resume
+        # with the flag flipped.
         self.color_inner = AppShadingNetwork(
             sphere_direction=bool(shader_cfg.get("sphere_direction", False)),
-            human_light=False, dtype=dtype)
+            human_light=False, dtype=dtype,
+            diffuse_only=bool(self.cfg.get("inner_diffuse_only", False)))
         self.ior_net = IoRNetwork()
         self.ior_int_net = IoRNetwork()
         self.thickness_net = ThicknessNetwork()
