@@ -51,11 +51,15 @@ class Stage2ShellRenderer(Stage2Renderer):
         super().__init__(cfg, scene=scene, stage1_params=stage1_params)
         shader_cfg = self.cfg.get("shader_config") or {}
         dtype = jnp.bfloat16 if self.cfg.get("mixed_precision", True) else None
-        # SpecInner shader config (field.py:1321-1330)
+        # SpecInner shader config (field.py:1321-1330); cfg inner_diffuse_only
+        # selects the DiffuseInner capacity instead (see models/stage2.py —
+        # same veil pathology: transmission + refrac_light on the inflated
+        # inner surface fake the through-glass background and kill carving)
         self.color_inner = AppShadingNetwork(
             sphere_direction=bool(shader_cfg.get("sphere_direction", False)),
             human_light=False, light_pos_freq=8, refrac_freq=2,
-            light_exp_max=5.0, refrac_exp_max=-0.2, dtype=dtype)
+            light_exp_max=5.0, refrac_exp_max=-0.2, dtype=dtype,
+            diffuse_only=bool(self.cfg.get("inner_diffuse_only", False)))
 
     # interfaces after the first are internal (renderer.py:2272)
     @staticmethod
