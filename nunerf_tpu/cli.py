@@ -131,6 +131,22 @@ def cmd_postprocess_stage2(args):
     print(f"kept {keep.sum()}/{len(tris)} faces")
 
 
+def cmd_postprocess_outer(args):
+    """Keep only the outside-visible surface of a stage-1 mesh — hollow-glass
+    scenes also march interior junk (the inner object is photometrically
+    attractive through thin glass); stage-2 requires the OUTER surface
+    (see nunerf_tpu/tools/outer_filter.py)."""
+    from nunerf_tpu.tools.outer_filter import filter_outer
+    from nunerf_tpu.tracing.mesh_ops import load_ply, save_ply
+
+    verts, tris = load_ply(args.input)
+    v2, t2, stats = filter_outer(verts, tris, n_views=args.views,
+                                 radius=args.radius)
+    out = args.output or args.input.replace(".ply", "_outer.ply")
+    save_ply(out, v2, t2)
+    print(f"outer filter: {stats} -> {out}")
+
+
 def cmd_relight(args):
     """relight.py: export per-vertex materials (+ optional blender driver)."""
     from nunerf_tpu.config import load_cfg
@@ -362,6 +378,13 @@ def main(argv=None):
     sp.add_argument("--output", default=None)
     sp.add_argument("--threshold", type=float, default=0.055)
     sp.set_defaults(fn=cmd_postprocess_stage2)
+
+    sp = sub.add_parser("postprocess-outer")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--views", type=int, default=64)
+    sp.add_argument("--radius", type=float, default=2.0)
+    sp.set_defaults(fn=cmd_postprocess_outer)
 
     sp = sub.add_parser("eval-geometry")
     sp.add_argument("--mesh", required=True)

@@ -46,8 +46,11 @@ shell_front() {
   python -m nunerf_tpu.cli train --cfg configs/shape/nerf/nested_shell.yaml
   echo "=== shell extract outer mesh ==="
   python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/nerf/nested_shell.yaml --resolution 512
+  # keep only the outside-visible surface (hollow scenes also march junk on
+  # the interior object; stage-2 must see the OUTER interface)
+  python -m nunerf_tpu.cli postprocess-outer --input data/meshes/nested_shell-30000_simplified.ply
   python -m nunerf_tpu.cli eval-geometry \
-      --mesh data/meshes/nested_shell-30000_simplified.ply --gt datasets/nested_shell/gt_outer.npy
+      --mesh data/meshes/nested_shell-30000_simplified_outer.ply --gt datasets/nested_shell/gt_outer.npy
 }
 
 shell_stage2() {
@@ -61,7 +64,7 @@ shell_stage2() {
   local inner
   inner=$(ls -t data/meshes/nested_shell_s2-*-inner.ply | head -1)
   python -m nunerf_tpu.cli postprocess-stage2 \
-      --input "$inner" --outer data/meshes/nested_shell-30000_simplified.ply
+      --input "$inner" --outer data/meshes/nested_shell-30000_simplified_outer.ply
   python -m nunerf_tpu.cli eval-geometry \
       --mesh "${inner%.ply}_post.ply" --gt datasets/nested_shell/gt_inner.npy
 }
@@ -77,11 +80,12 @@ real_front() {
   python -m nunerf_tpu.cli train --cfg configs/shape/real/nested_real.yaml
   echo "=== real extract outer mesh ==="
   python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/real/nested_real.yaml --resolution 384
+  python -m nunerf_tpu.cli postprocess-outer --input data/meshes/nested_real-20000_simplified.ply
   python -m nunerf_tpu.cli eval-geometry \
-      --mesh data/meshes/nested_real-20000_simplified.ply --gt datasets/nested_real/gt_outer.npy
+      --mesh data/meshes/nested_real-20000_simplified_outer.ply --gt datasets/nested_real/gt_outer.npy
   echo "=== mask pipeline ==="
   python -m nunerf_tpu.cli render-mask --cfg configs/shape/real/nested_real.yaml \
-      --mesh_path data/meshes/nested_real-20000_simplified.ply
+      --mesh_path data/meshes/nested_real-20000_simplified_outer.ply
   python -m nunerf_tpu.cli mask-erosion --cfg configs/shape/real/nested_real.yaml
 }
 
@@ -96,7 +100,7 @@ real_stage2() {
   local inner
   inner=$(ls -t data/meshes/nested_real_s2-*-inner.ply | head -1)
   python -m nunerf_tpu.cli postprocess-stage2 \
-      --input "$inner" --outer data/meshes/nested_real-20000_simplified.ply
+      --input "$inner" --outer data/meshes/nested_real-20000_simplified_outer.ply
   python -m nunerf_tpu.cli eval-geometry \
       --mesh "${inner%.ply}_post.ply" --gt datasets/nested_real/gt_inner.npy
   python -m nunerf_tpu.cli eval-images --cfg configs/stage2/real/nested_real.yaml
