@@ -142,6 +142,10 @@ def cmd_postprocess_outer(args):
     verts, tris = load_ply(args.input)
     v2, t2, stats = filter_outer(verts, tris, n_views=args.views,
                                  radius=args.radius)
+    if args.smooth > 0:
+        from nunerf_tpu.tools.outer_filter import taubin_smooth
+        v2 = taubin_smooth(v2, t2, iters=args.smooth)
+        stats["smooth_iters"] = args.smooth
     out = args.output or args.input.replace(".ply", "_outer.ply")
     save_ply(out, v2, t2)
     print(f"outer filter: {stats} -> {out}")
@@ -384,6 +388,8 @@ def main(argv=None):
     sp.add_argument("--output", default=None)
     sp.add_argument("--views", type=int, default=64)
     sp.add_argument("--radius", type=float, default=2.0)
+    sp.add_argument("--smooth", type=int, default=0,
+                    help="Taubin smoothing iterations on the filtered mesh")
     sp.set_defaults(fn=cmd_postprocess_outer)
 
     sp = sub.add_parser("eval-geometry")

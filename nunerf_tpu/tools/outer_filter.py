@@ -129,3 +129,30 @@ def filter_outer(verts, tris, n_views=64, radius=2.0,
              "after_visibility": int(len(t2)), "faces_out": int(len(t3)),
              "verts_out": int(len(used))}
     return verts[used], remap[t3], stats
+
+
+def taubin_smooth(verts, tris, iters=20, lam=0.5, mu=-0.53):
+    """Taubin lambda/mu smoothing (volume-preserving, unlike plain
+    Laplacian).  The extracted glass surface is physically smooth; marching
+    noise feeds straight into the shell mode's angle-defect curvature
+    (r = 1/sqrt|K|, stage2_shell.py), so smoothing the outer mesh stabilizes
+    the refraction geometry."""
+    v = verts.astype(np.float64).copy()
+    n = len(v)
+    # uniform-weight vertex adjacency
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]],
+                        tris[:, [1, 0]], tris[:, [2, 1]], tris[:, [0, 2]]], 0)
+    order = np.argsort(e[:, 0], kind="stable")
+    src, dst = e[order, 0], e[order, 1]
+    deg = np.bincount(src, minlength=n)[:, None].astype(np.float64)
+    deg = np.maximum(deg, 1.0)
+
+    def lap(x):
+        s = np.zeros_like(x)
+        np.add.at(s, src, x[dst])
+        return s / deg - x
+
+    for _ in range(iters):
+        v = v + lam * lap(v)
+        v = v + mu * lap(v)
+    return v.astype(np.float32)
