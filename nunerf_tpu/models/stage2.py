@@ -88,7 +88,11 @@ class Stage2Renderer:
         self.stage1_params = stage1_params
 
         if scene is None:
-            scene = Scene(self.cfg["stage1_mesh_dir"])
+            scene = Scene(self.cfg["stage1_mesh_dir"],
+                          curv_smooth_iters=self.cfg.get(
+                              "curv_smooth_iters",
+                              0 if self.cfg.get("zero_thickness", True)
+                              else 20))
         self.scene = scene
 
         # trainable modules

@@ -247,6 +247,31 @@ def vertex_normals_curvature(verts: np.ndarray, tris: np.ndarray):
     return normals.astype(np.float32), np.clip(curv, -10, 10).astype(np.float32)
 
 
+def smooth_vertex_scalar(values: np.ndarray, tris: np.ndarray,
+                         iters: int = 10) -> np.ndarray:
+    """Jacobi-average a per-vertex scalar over 1-ring neighborhoods.
+
+    Per-vertex angle-defect curvature is hyper-sensitive to triangulation
+    noise: on a marched+remeshed sphere whose true Gaussian curvature is a
+    constant +4, the raw estimate railed at the +-10 clips with 55% of
+    vertices NEGATIVE (measured round 4, nested_shell mesh) — and the
+    curvature-shell refraction (stage2_shell.py) branches on that sign, so
+    the shell crossing was noise and training shut the shell off
+    (thickness -> 0).  Diffusing the field recovers the smooth underlying
+    curvature the physics needs."""
+    n = len(values)
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]],
+                        tris[:, [1, 0]], tris[:, [2, 1]], tris[:, [0, 2]]], 0)
+    src, dst = e[:, 0], e[:, 1]
+    deg = np.bincount(src, minlength=n).astype(np.float64) + 1.0
+    v = values.astype(np.float64).copy()
+    for _ in range(iters):
+        s = v.copy()  # include self
+        np.add.at(s, src, v[dst])
+        v = s / deg
+    return v.astype(np.float32)
+
+
 def isotropic_remesh(verts: np.ndarray, tris: np.ndarray,
                      target_edge: float = 0.01):
     """Uniform decimation by grid vertex clustering — stands in for the

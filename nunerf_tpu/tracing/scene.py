@@ -41,7 +41,7 @@ class Scene:
 
     def __init__(self, mesh: Union[str, Tuple[np.ndarray, np.ndarray]],
                  tile: int = 1024, use_pallas: bool = False,
-                 cull_threshold: int = None):
+                 cull_threshold: int = None, curv_smooth_iters: int = 0):
         if isinstance(mesh, str):
             verts, tris = load_ply(mesh)
         else:
@@ -49,6 +49,13 @@ class Scene:
         self.verts_np = np.asarray(verts, np.float32)
         self.tris_np = np.asarray(tris, np.int32)
         normals, curvature = vertex_normals_curvature(self.verts_np, self.tris_np)
+        if curv_smooth_iters > 0:
+            # marched meshes carry sign-noise in the raw angle-defect field;
+            # the shell refraction branches on curvature sign, so shell-mode
+            # scenes diffuse it (see mesh_ops.smooth_vertex_scalar)
+            from nunerf_tpu.tracing.mesh_ops import smooth_vertex_scalar
+            curvature = smooth_vertex_scalar(curvature, self.tris_np,
+                                             curv_smooth_iters)
         self.tile = tile
         self.use_pallas = use_pallas
         # above this triangle count, closest-hit switches from the brute
