@@ -104,3 +104,39 @@ def test_eval_points_unprojection():
     assert len(pts) > 100
     np.testing.assert_allclose(pts[:, 2], 2.0, atol=1e-5)
     assert abs(pts[:, 0].mean()) < 0.1
+
+
+def test_smooth_vertex_scalar_recovers_constant_curvature():
+    """Jacobi diffusion of the angle-defect field on a marched sphere must
+    recover the constant GT curvature (K = 1/r^2 = 4) and kill sign noise."""
+    import numpy as np
+    from nunerf_tpu.tracing.mesh_ops import (extract_geometry,
+                                             smooth_vertex_scalar,
+                                             vertex_normals_curvature)
+
+    v, t = extract_geometry(lambda p: np.linalg.norm(p, axis=-1) - 0.5,
+                            resolution=64)
+    _, K = vertex_normals_curvature(v, t)
+    Ks = smooth_vertex_scalar(K, t, iters=20)
+    assert float((Ks < 0).mean()) < 0.02
+    assert abs(float(np.median(Ks)) - 4.0) < 1.5
+
+
+def test_outer_filter_drops_interior_surface():
+    """The visibility filter must remove an interior shell that a marched
+    hollow scene would include, keeping the outer surface."""
+    import numpy as np
+    from nunerf_tpu.tools.outer_filter import filter_outer
+    from nunerf_tpu.tracing.mesh_ops import extract_geometry
+
+    # two nested spheres marched as one level set (outer r=0.5, inner r=0.3)
+    def sdf(p):
+        r = np.linalg.norm(p, axis=-1)
+        return np.minimum(np.abs(r - 0.5), np.abs(r - 0.3)) - 0.02
+
+    v, t = extract_geometry(sdf, resolution=48)
+    v2, t2, stats = filter_outer(v, t, n_views=32, radius=2.0)
+    r_out = np.linalg.norm(v2[t2].mean(1), axis=-1)
+    # every kept face sits on (or just around) the outer sphere band
+    assert float((r_out > 0.4).mean()) > 0.99
+    assert stats["faces_out"] < stats["faces_in"]
