@@ -276,6 +276,12 @@ class AppShadingNetwork(nn.Module):
             _ = self.refrac_light(jnp.concatenate(
                 [posenc(points, self.refrac_freq),
                  posenc(view_dirs, self.refrac_freq)], -1))
+            # DELIBERATE deviation: the reference DiffuseInner applies
+            # linear_to_srgb TWICE (field.py:1268-1270 converts
+            # diffuse_color and then the sum again) — almost certainly a
+            # bug; we apply it once, so rendered colors differ from
+            # reference output on identical weights (param tree still
+            # matches exactly).
             color = linear_to_srgb(albedo * diffuse_light)
             return color, {"reflective": reflective, "occ_prob": occ_prob,
                            "transmission_weight": transmission_weight,

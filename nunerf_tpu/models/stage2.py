@@ -151,6 +151,13 @@ class Stage2Renderer:
             "thickness": self.thickness_net.init(r[5], d3),
             "iors_vec": jnp.zeros((10,)),  # vestigial (renderer_zerothick.py:929)
         }
+        if self.cfg.get("learn_absorption", False):
+            # per-channel Beer-Lambert coefficient for the glass medium,
+            # kappa = softplus(raw) (net-new vs the reference, which models
+            # no absorption: renderer.py:1727-1742 attenuates only via the
+            # frozen shader's refraction_coefficient).  Init near zero
+            # absorption (raw -2 -> kappa 0.127).
+            train["absorption"] = jnp.full((3,), -2.0, jnp.float32)
         if self.stage1_params is None:
             raise ValueError("stage-2 requires stage-1 params "
                              "(stage1_ckpt_dir or stage1_params)")
@@ -163,6 +170,30 @@ class Stage2Renderer:
 
     def inner_sdf(self, params, pts):
         return self.sdf_inner.apply(params["train"]["sdf_inner"], pts)[..., :1]
+
+    # ----- inv_s hardening floor -----------------------------------------
+    def _inv_s_floor(self, step):
+        """Scheduled lower bound on the inner NeuS inv_s, or None (= off).
+
+        The reference hardens inv_s into the hundreds over its 150k-step
+        stage-2 schedule (renderer_zerothick.py:1490-1528 + 150k steps,
+        configs/stage2/nerf/spherepot.yaml:41); the compressed schedules here
+        plateau near ~126, leaving a soft silhouette that costs ~2.6 dB on
+        the nested test split (round-4 eval).  The floor ramps geometrically
+        from ``inv_s_floor_base`` to ``inv_s_floor_max`` between
+        ``inv_s_floor_start`` and ``inv_s_floor_end`` and is applied as
+        ``max(learned, floor)`` — the variance net can only sharpen further.
+        Default off (reference parity)."""
+        fmax = self.cfg.get("inv_s_floor_max")
+        if not fmax or step is None:
+            return None
+        start = self.cfg.get("inv_s_floor_start", 0)
+        end = self.cfg.get("inv_s_floor_end",
+                           self.cfg.get("total_step", 30000))
+        base = float(self.cfg.get("inv_s_floor_base", 32.0))
+        t = jnp.clip((step - start) / max(end - start, 1), 0.0, 1.0)
+        floor = base * (float(fmax) / base) ** t
+        return jnp.where(jnp.asarray(step) < start, 0.0, floor)
 
     # ----- freeze gates -------------------------------------------------
     def _freeze_flag(self, train, step, step_key, thr_key):
@@ -184,6 +215,11 @@ class Stage2Renderer:
             inv_s_now = jax.lax.stop_gradient(
                 self.var_inner.apply(train["var_inner"],
                                      jnp.zeros((1, 3)))[0, 0])
+            # the gate asks "has the rendered surface hardened?" — under an
+            # inv_s floor the rendering hardness is the floored value
+            floor = self._inv_s_floor(step)
+            if floor is not None:
+                inv_s_now = jnp.maximum(inv_s_now, floor)
             frozen = frozen | (inv_s_now < thr)
         return frozen
 
@@ -446,6 +482,9 @@ class Stage2Renderer:
             inv_s = jax.lax.cond(step < freeze,
                                  lambda v: jax.lax.stop_gradient(v),
                                  lambda v: v, inv_s)
+        floor = self._inv_s_floor(step)
+        if floor is not None:
+            inv_s = jnp.maximum(inv_s, floor)
         true_cos = jnp.sum(dirs * grads, axis=-1)
         iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal)
                      + jax.nn.relu(-true_cos) * cos_anneal)
@@ -600,6 +639,16 @@ class Stage2Renderer:
             current_T = jnp.where(conv,
                                   current_T * occ_if["refraction_coefficient"],
                                   current_T)
+            # Beer-Lambert absorption over the glass chord crossed at this
+            # interface (shell mode records it in the bounce; the reference
+            # models no absorption).  The chord length is thickness-driven
+            # (see _shell_cross), so per-channel rim tint becomes a direct
+            # optical-path-length cue for the thickness/IoR fields instead
+            # of veil fodder for the light fields (round-4 verdict item 3).
+            if "chord" in b and self.cfg.get("learn_absorption", False):
+                kappa = jax.nn.softplus(params["train"]["absorption"])
+                att = jnp.exp(-kappa[None, :] * b["chord"])
+                current_T = jnp.where(conv, current_T * att, current_T)
 
         ray_rgb = jnp.clip(linear_to_srgb(total_color), 0.0, 1.0)
         # training observability: mean glass IoR at the entry interface
@@ -618,6 +667,12 @@ class Stage2Renderer:
                 jnp.sum(b0["thickness"][..., 0] * hitf)
                 / (jnp.sum(hitf) + 1e-8))
             outputs["thickness_frozen"] = b0["thickness_frozen"]
+        if self.cfg.get("learn_absorption", False):
+            kappa_log = jax.lax.stop_gradient(
+                jax.nn.softplus(params["train"]["absorption"]))
+            outputs["kappa_r"] = kappa_log[0]
+            outputs["kappa_g"] = kappa_log[1]
+            outputs["kappa_b"] = kappa_log[2]
         outputs.update({
             "ray_rgb": ray_rgb,
             "gradient_error": grad_err,

@@ -73,7 +73,8 @@ class Stage2ShellRenderer(Stage2Renderer):
         P: interface point; n: interface normal (toward the incoming side);
         d_in: refracted direction inside the shell; cos_t: cos of the
         refracted angle; r: curvature radius; curv_pos: bool mask of
-        positive-curvature lanes.  Returns (exit point Q, exit normal).
+        positive-curvature lanes.  Returns (exit point Q, exit normal,
+        glass chord length L).
         Implements renderer.py:1819-1848 (entry) / :1944-1983 (exit legs).
         """
         ctr = r * cos_t
@@ -88,7 +89,7 @@ class Stage2ShellRenderer(Stage2Renderer):
         center = jnp.where(curv_pos, P - n * r, P + n * r)
         Q = P + d_in * (L + 0.001)
         n_after = jnp.where(curv_pos, Q - center, center - Q)
-        return Q, normalize(n_after)
+        return Q, normalize(n_after), L
 
     def ray_trace(self, params, rays_o, rays_d, step=None):
         """3 bounces with shell refraction (renderer.py:1610-2009).
@@ -150,8 +151,8 @@ class Stage2ShellRenderer(Stage2Renderer):
                 cos_t = safe_sqrt(1.0 - sin2_t, 1e-4)
                 d_in = normalize(eta1 * direc
                                  + (eta1 * cos_i - cos_t) * normal)
-                Q, n_after = self._shell_cross(P, normal, d_in, cos_t, r,
-                                               thickness, curv_pos)
+                Q, n_after, chord = self._shell_cross(P, normal, d_in, cos_t,
+                                                      r, thickness, curv_pos)
                 cos2 = jnp.sum(n_after * -d_in, axis=-1, keepdims=True)
                 sin2_2 = 1.0 - cos2 * cos2
                 tir2 = (sin2_2 * eta2 * eta2)[..., 0] > 0.999
@@ -189,8 +190,9 @@ class Stage2ShellRenderer(Stage2Renderer):
                                  + (eta1 * cos_mod - safe_sqrt(1 - sin2_t1, 1e-4))
                                  * n_mod)
                 cos_t = safe_sqrt(1.0 - sin2_t1, 1e-4)
-                Q, n_after = self._shell_cross(P_inner, n_mod, d_in, cos_t, r,
-                                               thickness, curv_pos)
+                Q, n_after, chord = self._shell_cross(P_inner, n_mod, d_in,
+                                                      cos_t, r, thickness,
+                                                      curv_pos)
                 cos2 = jnp.sum(n_after * -d_in, axis=-1, keepdims=True)
                 sin2_2 = 1.0 - cos2 * cos2
                 tir2 = (sin2_2 * eta2 * eta2)[..., 0] > 0.999
@@ -214,6 +216,9 @@ class Stage2ShellRenderer(Stage2Renderer):
                 "thickness": thickness,
                 "thickness_frozen": jnp.asarray(
                     frozen_th if frozen_th is not None else 0, jnp.float32),
+                # glass path length crossed at this interface, for the
+                # Beer-Lambert term in the transmittance chain (stage2.render)
+                "chord": chord + 0.001,
             })
             start, direc, active = next_start, next_dir, conv
 

@@ -65,11 +65,21 @@ def quat_from_rotation(R: np.ndarray) -> np.ndarray:
 
 def relighting_poses(num: int, azimuth_deg: float = 0.0,
                      elevation_deg: float = 45.0,
-                     dist: float = 3.0) -> np.ndarray:
+                     dist: float = 3.0, frame: str = "z-up") -> np.ndarray:
     """[N,3,4] world-to-camera (OpenCV convention: +z forward, +y down)
     poses on a +-90 deg azimuth arc at fixed elevation, all looking at the
     origin — the reference's relighting camera sweep
-    (blender_utils.py ``generate_relghting_poses``)."""
+    (blender_utils.py ``generate_relghting_poses``).
+
+    Frame convention: the look-at math below assumes a Z-UP world — correct
+    for meshes exported from the blender-convention synthetic scenes.  The
+    reference additionally composes the remap R_trans =
+    [[1,0,0],[0,0,-1],[0,1,0]] because its meshes live in the NeRO
+    normalization frame (y-up); pass ``frame="y-up"`` for such meshes to
+    reproduce the same arc (advisor r4: without it the sweep is rotated
+    ~90 deg about x relative to the reference)."""
+    if frame not in ("z-up", "y-up"):
+        raise ValueError(f"frame must be 'z-up' or 'y-up', got {frame!r}")
     az = np.deg2rad(azimuth_deg) + np.linspace(-np.pi / 2, np.pi / 2, num)
     el = np.full_like(az, np.deg2rad(elevation_deg))
     centers = dist * np.stack([np.cos(az) * np.cos(el),
@@ -85,6 +95,17 @@ def relighting_poses(num: int, azimuth_deg: float = 0.0,
         R = np.stack([x_axis, y_axis, z_axis], 0)          # world->cam rows
         poses[i, :, :3] = R
         poses[i, :, 3] = -R @ c
+    if frame == "y-up":
+        # mesh world is y-up (NeRO normalization frame): rotate the mesh
+        # frame into the z-up frame the arc above is defined in — the same
+        # R_trans the reference composes (blender_utils.py
+        # generate_relghting_poses, cam_rots @ [[1,0,0],[0,0,-1],[0,1,0]])
+        r_trans = np.array([[1.0, 0.0, 0.0],
+                            [0.0, 0.0, -1.0],
+                            [0.0, 1.0, 0.0]])
+        # x_cam = R @ (R_trans @ x_yup) + t: R_trans maps mesh y-up coords
+        # into the z-up frame the arc is built in (R_trans @ (0,1,0) = z)
+        poses[:, :, :3] = poses[:, :, :3] @ r_trans[None]
     return poses
 
 

@@ -262,8 +262,13 @@ def trace_rays_hollow(o: np.ndarray, d: np.ndarray, tau: float = SHELL_TAU):
     cos2 = np.clip(-np.sum(d1 * n2, -1, keepdims=True), 0.0, 1.0)
     F2 = _fresnel(cos2[..., 0], IOR, 1.0)[..., None]  # ==1 on TIR
     # Beer-Lambert over the entry glass traversal
-    w = w * np.exp(-GLASS_KAPPA * np.where(np.isfinite(t2), t2, 0.0)[..., None])
-    col = col + w * F2 * env_color(d1 + 2.0 * cos2 * n2)
+    att2 = np.exp(-GLASS_KAPPA * np.where(np.isfinite(t2), t2, 0.0)[..., None])
+    w = w * att2
+    # the inner-interface Fresnel reflection travels BACK through the glass
+    # before exiting; attenuate its return chord too (approximated by the
+    # entry chord — symmetric for the near-radial paths that dominate here;
+    # advisor r4 consistency fix)
+    col = col + w * att2 * F2 * env_color(d1 + 2.0 * cos2 * n2)
     w = w * (1.0 - F2)
     d2, _ = _refract(d1, n2, IOR)
     pos2 = p2 + 1e-6 * d2

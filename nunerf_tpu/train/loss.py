@@ -46,7 +46,8 @@ def std_recorder(outputs, batch, step, cfg):
         if cfg.get("apply_std_loss", False):
             out["loss_std"] = outputs["std"] * cfg.get("std_loss_weight", 0.01)
     for k in ("inner_std", "outer_std", "ior_glass", "ior_frozen",
-              "thickness_mean", "thickness_frozen"):
+              "thickness_mean", "thickness_frozen",
+              "kappa_r", "kappa_g", "kappa_b"):
         if k in outputs:
             out[k] = outputs[k]
     return out

@@ -244,3 +244,29 @@ def test_freeze_ior_inv_s_gate(stage2_setup):
     assert ior_grad(r2, 100) > 0.0
     # and still frozen BEFORE freeze_ior_step regardless
     assert ior_grad(r2, 2) == 0.0
+
+
+def test_inv_s_floor_schedule(stage2_setup):
+    """Scheduled inv_s floor (round-5 hardening lever, verdict item 4):
+    geometric ramp base->max over [start, end], off before start, and
+    applied as max(learned, floor) in the inner NeuS alpha."""
+    renderer, params = stage2_setup
+    cfg = dict(S2_CFG, inv_s_floor_max=400.0, inv_s_floor_start=100,
+               inv_s_floor_end=1000, inv_s_floor_base=32.0)
+    r2 = type(renderer)(cfg, scene=renderer.scene,
+                        stage1_params=renderer.stage1_params)
+    assert r2._inv_s_floor(None) is None
+    assert float(r2._inv_s_floor(50)) == 0.0
+    np.testing.assert_allclose(float(r2._inv_s_floor(100)), 32.0, rtol=1e-6)
+    np.testing.assert_allclose(float(r2._inv_s_floor(1000)), 400.0, rtol=1e-6)
+    np.testing.assert_allclose(float(r2._inv_s_floor(550)),
+                               32.0 * (400.0 / 32.0) ** 0.5, rtol=1e-6)
+    # default config: floor off, alpha path unchanged
+    assert renderer._inv_s_floor(500) is None
+
+    pts = jnp.zeros((6, 3)) + jnp.array([[0.0, 0.0, 0.4]])
+    dists = jnp.full((6,), 0.01)
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (6, 1))
+    _, _, _, inv_s, _ = r2._inner_sdf_alpha(
+        {"train": params["train"]}, pts, dists, dirs, 1.0, 1000)
+    assert float(jnp.min(inv_s)) >= 400.0 - 1e-3

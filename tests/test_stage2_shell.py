@@ -117,3 +117,59 @@ def test_shell_render_and_grads(shell_setup):
     assert gsum(grads["train"]["ior"]) > 0
     assert gsum(grads["train"]["thickness"]) > 0
     assert gsum(grads["frozen"]) == 0.0
+
+
+def test_absorption_param_and_transmission_dimming(shell_setup):
+    """learn_absorption: Beer-Lambert exp(-kappa*chord) on the glass chords
+    (round-5, verdict item 3).  kappa ~ 0 reproduces the no-absorption
+    render; a large kappa dims the transmitted radiance."""
+    renderer, params = shell_setup
+    cfg = dict(S2_SHELL_CFG, learn_absorption=True)
+    r2 = Stage2ShellRenderer(cfg, scene=renderer.scene,
+                             stage1_params=renderer.stage1_params)
+    p2 = r2.init_params(jax.random.PRNGKey(8))
+    assert "absorption" in p2["train"]
+
+    rays_o, rays_d = _camera_rays()
+    rng = jax.random.PRNGKey(3)
+    base = renderer.render(params, rays_o, rays_d, rng, step=0,
+                           is_train=False)["ray_rgb"]
+
+    # kappa -> 0: matches the absorption-free render
+    p_zero = jax.tree_util.tree_map(lambda x: x, p2)
+    p_zero["train"]["absorption"] = jnp.full((3,), -20.0)
+    off = r2.render(p_zero, rays_o, rays_d, rng, step=0,
+                    is_train=False)["ray_rgb"]
+    np.testing.assert_allclose(np.asarray(off), np.asarray(base), atol=1e-5)
+
+    # large kappa: transmitted radiance must drop on through-glass lanes
+    p_hi = jax.tree_util.tree_map(lambda x: x, p2)
+    p_hi["train"]["absorption"] = jnp.full((3,), 8.0)
+    hi = r2.render(p_hi, rays_o, rays_d, rng, step=0,
+                   is_train=False)["ray_rgb"]
+    assert float(jnp.mean(hi)) < float(jnp.mean(base))
+    assert np.all(np.isfinite(np.asarray(hi)))
+
+
+def test_absorption_grad_reaches_kappa_and_thickness(shell_setup):
+    """The Beer-Lambert term must backprop to kappa AND (through the chord
+    length) to the thickness net — that is the whole point of item 3."""
+    renderer, params = shell_setup
+    cfg = dict(S2_SHELL_CFG, learn_absorption=True)
+    r2 = Stage2ShellRenderer(cfg, scene=renderer.scene,
+                             stage1_params=renderer.stage1_params)
+    p2 = r2.init_params(jax.random.PRNGKey(8))
+    p2["train"]["absorption"] = jnp.full((3,), 1.0)
+    rays_o, rays_d = _camera_rays()
+    rng = jax.random.PRNGKey(3)
+
+    def loss_fn(train):
+        p = {"train": train, "frozen": p2["frozen"]}
+        out = r2.render(p, rays_o, rays_d, rng, step=10**6, is_train=True)
+        return jnp.mean(out["ray_rgb"])
+
+    g = jax.grad(loss_fn)(p2["train"])
+    assert float(jnp.max(jnp.abs(g["absorption"]))) > 0.0
+    th_g = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), g["thickness"], 0.0)
+    assert th_g > 0.0

@@ -42,8 +42,14 @@ run_leg() {
       if probe; then
         fails=0
         local cpu
-        cpu=$(ps -o cputimes= -g $pid 2>/dev/null | awk '{s+=$1} END {print s+0}')
-        if [ "$cpu" = "$last_cpu" ]; then
+        cpu=$(ps -o cputimes= -g $pid 2>/dev/null | awk 'NF {s+=$1; n=1} END {if (n) print s; else print "unknown"}')
+        if [ "$cpu" = "unknown" ]; then
+          # ps produced no usable rows (procps without cputimes, or a racy
+          # empty session query): treat as UNKNOWN and reset the stall
+          # counter rather than reading it as "no CPU progress" and killing
+          # a healthy leg (advisor r4)
+          stall=0
+        elif [ "$cpu" = "$last_cpu" ]; then
           stall=$((stall + 1))
           [ $stall -ge 3 ] && echo "$(date) leg idle ($stall/$STALL_MAX, cpu=${cpu}s)"
         else
