@@ -497,12 +497,21 @@ class CustomDatabase(_ColmapDatabase):
     def get_mask(self, img_id):
         name = self.image_names[img_id]
         stem = os.path.splitext(name)[0]
+        # 'custom/<scene>/<res>/rawmask' reads the RAW silhouette masks from
+        # mask/ (render-mask output) instead of the eroded trust-region
+        # masks: mask_erosion = erode ∪ inverted-original is ~1 everywhere
+        # but a boundary ring (right for masking the stage-2 rgb loss,
+        # meaningless as an acc target).  The round-5 bootstrap stage-1
+        # pass supervises acc_sdf with the silhouette.
+        parts = self.database_name.split("/")
+        sub = "mask" if len(parts) > 3 and parts[3] == "rawmask" \
+            else "mask_erosion"
         # render-mask writes .jpg regardless of the capture's image format
         # (reference render_mask_synthetic.py:76 vs database.py:532 reads the
         # raw image name — which only lines up for .jpg captures)
-        for fp in (f"{self.root}/mask_erosion/{name}",
-                   f"{self.root}/mask_erosion/{stem}.jpg",
-                   f"{self.root}/mask_erosion/{stem}.png"):
+        for fp in (f"{self.root}/{sub}/{name}",
+                   f"{self.root}/{sub}/{stem}.jpg",
+                   f"{self.root}/{sub}/{stem}.png"):
             if os.path.exists(fp):
                 m = _imread(fp)
                 if m.ndim == 3:
@@ -552,7 +561,10 @@ def get_database_split(database: BaseDatabase, split_type: str = "validation"
             return train_ids, test_ids
         ids = list(database.get_img_ids())
         random.Random(100).shuffle(ids)
-        n = min(128, max(1, len(ids) // 2))
+        # the reference's fixed split holds out 128 of 1024 renders (1/8);
+        # keep that fraction for databases without a split file so small
+        # capture scenes don't lose half their views to the holdout
+        n = min(128, max(1, len(ids) // 8))
         return ids[n:], ids[:n]
     raise NotImplementedError(split_type)
 

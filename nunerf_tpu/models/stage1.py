@@ -469,6 +469,11 @@ class ShapeRenderer:
             method=AppShadingNetwork.outer_light_for_dir))
 
         acc = jnp.sum(weights, axis=-1)
+        # SDF-branch-only opacity: the acc target for real-capture mask
+        # supervision (with a NeRF++ background the TOTAL acc saturates at 1
+        # on every pixel, so only the inner-branch mass identifies the
+        # silhouette; see train_outputs)
+        acc_sdf = jnp.sum(weights * inner_mask, axis=-1)
         if is_nerf:
             color = color + (1.0 - acc[..., None])
 
@@ -477,6 +482,7 @@ class ShapeRenderer:
             "gradient_error": gradient_error,
             "loss_normal": jnp.mean(normal_ori_loss),
             "acc": acc,
+            "acc_sdf": acc_sdf,
             "color_bkgr": color_bkgr,
             "color_spec": color_spec,
             "spec_mask": cand_inner,
@@ -609,6 +615,9 @@ class ShapeRenderer:
             method=AppShadingNetwork.outer_light_for_dir))
 
         acc = jnp.sum(weights, axis=-1)
+        # SDF-branch-only opacity (see render_core): the SDF branch is
+        # exactly the static chord slice [F, F+I)
+        acc_sdf = jnp.sum(weights[:, F:F + I], axis=-1)
         if is_nerf:
             color = color + (1.0 - acc[..., None])
 
@@ -617,6 +626,7 @@ class ShapeRenderer:
             "gradient_error": gradient_error,
             "loss_normal": jnp.mean(normal_ori_loss),
             "acc": acc,
+            "acc_sdf": acc_sdf,
             "color_bkgr": color_bkgr,
             "color_spec": color_spec,
             "spec_mask": cand_inner,
@@ -734,9 +744,17 @@ class ShapeRenderer:
             step, cos_anneal_ratio=self.get_anneal_val(step),
             is_train=True, is_nerf=is_nerf)
         outputs["loss_rgb"] = self.compute_rgb_loss(outputs["ray_rgb"], batch["rgbs"])
-        if is_nerf and "masks" in batch:
+        if "masks" in batch and (is_nerf or self.cfg.get("use_mask_loss",
+                                                         False)):
+            # nerf convention: dataset alpha vs TOTAL acc (white-fill
+            # compositing).  Real-capture bootstrap (use_mask_loss): the
+            # rendered silhouette from the first-pass mesh supervises the
+            # SDF-branch opacity only — total acc saturates at 1 under the
+            # NeRF++ background (round-5 bootstrap, VERDICT item 1;
+            # reference contract render_mask.py + mask_erosion.py:29-35)
+            target = outputs["acc"] if is_nerf else outputs["acc_sdf"]
             outputs["loss_mask"] = jnp.mean(
-                jnp.abs(batch["masks"] - outputs["acc"]))
+                jnp.abs(batch["masks"] - target))
         return outputs
 
     def nvs(self, params, pose, K, h, w, chunk: int = 1024, step: int = 300000):

@@ -322,6 +322,21 @@ class Stage2Renderer:
         z_tail = far / jnp.flip(t) + 1.0 / n_tail
         return jnp.concatenate([z_near, z_tail], -1)  # ascending [n_near+n_tail]
 
+    def _stage1_bg_z_lanes(self, n_total: int, near: jnp.ndarray):
+        """Per-lane variant of ``_stage1_bg_z`` (sphere_clip_outer): the
+        linear head starts at each lane's own near; the inverse-depth tail
+        is shared (it lives beyond ``far`` where no clip applies)."""
+        cfg = self.cfg
+        far = cfg["seg_far"]
+        n_tail = min(cfg["bg_tail_samples"], n_total // 2)
+        n_near = n_total - n_tail
+        frac = jnp.linspace(0.0, 1.0, n_near)[None, :]
+        z_near = near[:, None] + frac * jnp.maximum(far - near[:, None], 1e-3)
+        t = jnp.linspace(1e-3, 1.0 - 1.0 / (n_tail + 1.0), n_tail)
+        z_tail = far / jnp.flip(t) + 1.0 / n_tail
+        z_tail = jnp.broadcast_to(z_tail[None, :], (near.shape[0], n_tail))
+        return jnp.concatenate([z_near, z_tail], -1)
+
     def _sample_outer_segment(self, params, b, rng, seg_index: int = 0):
         """Outside segment (k != 1): uniform-to-hit on hit lanes; on miss,
         background samples along the escaped ray.
@@ -343,6 +358,23 @@ class Stage2Renderer:
         rn = start.shape[0]
 
         end_hit = b["pos"]
+        sphere_clip = bool(cfg.get("sphere_clip_outer", False))
+        if sphere_clip and seg_index == 0:
+            # Sphere-clipped z-law (docs/perf_notes.md §4, landed round 5):
+            # outer-segment samples past the unit-sphere entry are
+            # where-masked to zero in render() (frozen NeRF only counts
+            # outside the sphere), so ~40% of the frozen-NeRF evals were
+            # dead.  Clip the hit-lane sample domain at the sphere entry —
+            # every removed sample had alpha exactly 0, the freed budget
+            # buys the same resolution with fewer samples (configs drop
+            # n_samples_outer alongside this flag).
+            ob = jnp.sum(start * direc, -1, keepdims=True)
+            disc = ob * ob - (jnp.sum(start * start, -1, keepdims=True) - 1.0)
+            t_in = -ob - jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_hit = jnp.linalg.norm(end_hit - start, axis=-1, keepdims=True)
+            t_end = jnp.where((disc[..., 0:1] > 0) & (t_in > 0),
+                              jnp.minimum(t_in, t_hit), t_hit)
+            end_hit = start + direc * t_end
         z_hit = jnp.linspace(0.0, 1.0, n)[None, :, None]
         pts_hit = start[:, None, :] + (end_hit - start)[:, None, :] * z_hit
 
@@ -350,8 +382,19 @@ class Stage2Renderer:
         if mode == "stage1_exact":
             # bounce-0 miss lanes ARE stage-1 rays: reuse stage-1's near.
             near = cfg["bg_near0"] if seg_index == 0 else 1e-3
-            z_miss = self._stage1_bg_z(n, near)
-            z_miss = jnp.broadcast_to(z_miss[None, :], (rn, n))
+            if sphere_clip and seg_index != 0:
+                # exit-segment miss lanes start ON the mesh, inside the unit
+                # sphere: everything before the sphere exit is where-masked
+                # dead weight.  Per-lane near = the sphere-exit distance.
+                ob = jnp.sum(start * direc, -1)
+                disc = ob * ob - (jnp.sum(start * start, -1) - 1.0)
+                t_out = -ob + jnp.sqrt(jnp.maximum(disc, 0.0))
+                near_lane = jnp.where((disc > 0) & (t_out > 0),
+                                      t_out + 1e-3, near)      # [rn]
+                z_miss = self._stage1_bg_z_lanes(n, near_lane)
+            else:
+                z_miss = jnp.broadcast_to(
+                    self._stage1_bg_z(n, near)[None, :], (rn, n))
             pts_miss = start[:, None, :] + direc[:, None, :] * z_miss[..., None]
             return jnp.where(b["hit"][:, None, None], pts_hit, pts_miss)
 

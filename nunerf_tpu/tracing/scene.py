@@ -66,8 +66,23 @@ class Scene:
             import os
             cull_threshold = int(os.environ.get("NUNERF_CULL_TRIS", 32768))
         self.tile_index = None
+        self.cull_group = 16
         if not use_pallas and len(self.tris_np) >= cull_threshold:
-            self.tile_index = build_tile_index(self.verts_np, self.tris_np)
+            # √n tile law (round 5): with a FIXED tile size the tile count —
+            # and with it the per-ray slab sweep and nearest-first sort —
+            # grows linearly with the mesh, which measured 963× time for 16×
+            # triangles (docs/perf_notes.md r4).  Growing the tile with
+            # √n_tris keeps n_tiles ~ √n (the reference's BVH pays log depth
+            # instead, bvh.cu:526-610).  The divisor keeps the tuned 117k-tri
+            # operating point (tile=128) unchanged; group shrinks for big
+            # tiles so the per-round candidate gather stays ~4k triangles.
+            n = len(self.tris_np)
+            t_pow = int(round(np.log2(max(np.sqrt(n) / 2.7, 128.0))))
+            cull_tile = int(np.clip(2 ** t_pow, 128, 2048))
+            self.cull_group = max(4, min(16, 4096 // cull_tile))
+            self.tile_index = build_tile_index(
+                self.verts_np, self.tris_np, tile=cull_tile,
+                group=self.cull_group)
 
         pad_to = tile
         if use_pallas:
@@ -94,7 +109,8 @@ class Scene:
                 self.v0, self.e1, self.e2, interpret=interpret)
             return Hit(t=t, tri_idx=idx, hit=hit)
         if self.tile_index is not None:
-            return ray_mesh_intersect_culled(rays_o, rays_d, self.tile_index)
+            return ray_mesh_intersect_culled(rays_o, rays_d, self.tile_index,
+                                             group=self.cull_group)
         return ray_mesh_intersect(rays_o, rays_d, self.v0, self.e1, self.e2,
                                   tile=self.tile)
 

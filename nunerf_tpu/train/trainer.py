@@ -131,7 +131,11 @@ class Trainer:
     def _build_dataset(self):
         cfg = self.renderer.cfg
         self.database = parse_database_name(cfg["database_name"], cfg["dataset_dir"])
-        self.train_ids, self.test_ids = get_database_split(self.database)
+        # cfg split_type 'test' trains on the eval holdout's complement so a
+        # later `eval-images --split test` scores genuinely unseen views
+        # (the reference trains against its fixed split the same way)
+        self.train_ids, self.test_ids = get_database_split(
+            self.database, cfg.get("split_type", "validation"))
         train_info = build_imgs_info(self.database, self.train_ids,
                                      with_mask=True)
         h, w = train_info["imgs"].shape[1:3]

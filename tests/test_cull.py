@@ -112,3 +112,20 @@ def test_scene_auto_cull_threshold(blob_mesh, random_rays):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(a["pos"]), np.asarray(b["pos"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scaled_tile_params_match_brute(blob_mesh, random_rays):
+    """√n tile law (round 5): larger tiles + smaller groups must stay exact.
+    Exercises the (tile, group) combinations Scene picks for big meshes."""
+    verts, tris = blob_mesh
+    o, d = random_rays
+    v0, e1, e2 = pad_triangles(verts, tris, 1024)
+    brute = ray_mesh_intersect(o, d, v0, e1, e2, tile=1024)
+    for tile, group in ((512, 8), (1024, 4)):
+        idx = build_tile_index(verts, tris, tile=tile, group=group)
+        cull = ray_mesh_intersect_culled(o, d, idx, group=group)
+        np.testing.assert_array_equal(np.asarray(cull.hit),
+                                      np.asarray(brute.hit))
+        np.testing.assert_allclose(np.asarray(cull.t)[np.asarray(brute.hit)],
+                                   np.asarray(brute.t)[np.asarray(brute.hit)],
+                                   rtol=0, atol=0)

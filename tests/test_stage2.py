@@ -270,3 +270,32 @@ def test_inv_s_floor_schedule(stage2_setup):
     _, _, _, inv_s, _ = r2._inner_sdf_alpha(
         {"train": params["train"]}, pts, dists, dirs, 1.0, 1000)
     assert float(jnp.min(inv_s)) >= 400.0 - 1e-3
+
+
+def test_sphere_clip_outer_matches_default_render(stage2_setup):
+    """sphere_clip_outer (round 5, perf_notes §4): every sample it removes
+    had alpha exactly 0 (inside the unit sphere on an outer segment), so the
+    rendered image must match the unclipped render closely at equal counts."""
+    renderer, params = stage2_setup
+    cfg = dict(S2_CFG, sphere_clip_outer=True)
+    r2 = type(renderer)(cfg, scene=renderer.scene,
+                        stage1_params=renderer.stage1_params)
+    rays_o = jnp.tile(jnp.array([[0.0, 0.3, -2.5]]), (12, 1))
+    targets = jnp.asarray(np.random.RandomState(1).randn(12, 3) * 0.2)
+    rays_d = targets - rays_o
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rng = jax.random.PRNGKey(5)
+    base = renderer.render(params, rays_o, rays_d, rng, step=0,
+                           is_train=False)["ray_rgb"]
+    clip = r2.render(params, rays_o, rays_d, rng, step=0,
+                     is_train=False)["ray_rgb"]
+    assert np.all(np.isfinite(np.asarray(clip)))
+    np.testing.assert_allclose(np.asarray(clip), np.asarray(base), atol=0.05)
+
+    # hit-lane samples of the entry segment all live outside the sphere
+    bounces, _ = r2.ray_trace(params, rays_o, rays_d)
+    b0 = bounces[0]
+    pts = r2._sample_outer_segment(params, b0, rng, seg_index=0)
+    hit = np.asarray(b0["hit"])
+    radii = np.linalg.norm(np.asarray(pts)[hit][:, :-1, :], axis=-1)
+    assert radii.min() >= 0.98

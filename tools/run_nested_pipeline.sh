@@ -89,6 +89,26 @@ real_front() {
   python -m nunerf_tpu.cli mask-erosion --cfg configs/shape/real/nested_real.yaml
 }
 
+real_boot() {
+  # round-5 bootstrap second pass (VERDICT item 1): consume the silhouette
+  # masks rendered from the first-pass mesh at weight 0.5 — the proven
+  # anti-dissolution fix — then regenerate masks from the (good) bootstrap
+  # mesh for stage-2.
+  echo "=== bootstrap stage-1 train (rawmask, weight 0.5) ==="
+  python -m nunerf_tpu.cli train --cfg configs/shape/real/nested_real_boot.yaml
+  echo "=== bootstrap extract outer mesh ==="
+  python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/real/nested_real_boot.yaml --resolution 384
+  python -m nunerf_tpu.cli postprocess-outer --input data/meshes/nested_real_boot-20000_simplified.ply
+  python -m nunerf_tpu.cli eval-geometry \
+      --mesh data/meshes/nested_real_boot-20000_simplified_outer.ply --gt datasets/nested_real/gt_outer.npy
+  echo "=== regenerate mask pipeline from bootstrap mesh ==="
+  python -m nunerf_tpu.cli render-mask --cfg configs/shape/real/nested_real_boot.yaml \
+      --mesh_path data/meshes/nested_real_boot-20000_simplified_outer.ply
+  python -m nunerf_tpu.cli mask-erosion --cfg configs/shape/real/nested_real_boot.yaml
+  echo "=== bootstrap stage-1 test-split eval ==="
+  python -m nunerf_tpu.cli eval-images --cfg configs/shape/real/nested_real_boot.yaml --split test
+}
+
 real_stage2() {
   local budget="${1:?usage: real_stage2 <timeout_s>}"
   echo "=== real shell stage-2 train (budget ${budget}s) ==="
@@ -103,7 +123,7 @@ real_stage2() {
       --input "$inner" --outer data/meshes/nested_real-20000_simplified_outer.ply
   python -m nunerf_tpu.cli eval-geometry \
       --mesh "${inner%.ply}_post.ply" --gt datasets/nested_real/gt_inner.npy
-  python -m nunerf_tpu.cli eval-images --cfg configs/stage2/real/nested_real.yaml
+  python -m nunerf_tpu.cli eval-images --cfg configs/stage2/real/nested_real.yaml --split test
 }
 
 "$@"
