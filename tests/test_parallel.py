@@ -4,6 +4,7 @@ sharded rendering == single-device rendering; sharded grads == local grads."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nunerf_tpu.models.stage1 import ShapeRenderer
 from nunerf_tpu.parallel.mesh import make_mesh, replicated, shard_batch
@@ -131,6 +132,7 @@ def _stage2_setup(rn=32):
     return renderer, params, batch
 
 
+@pytest.mark.slow  # ~93s CPU compile; the stage-1 sharded-grads test + dryrun_multichip cover the sharding contract
 def test_stage2_sharded_step_matches_single_device():
     """One full stage-2 train step (3-bounce trace through the mesh, frozen
     stage-1 subtree under multi_transform, TIR-masked rgb loss) must produce

@@ -62,6 +62,7 @@ def test_render_transparent_and_mask(sphere_scene):
     np.testing.assert_allclose(np.linalg.norm(dd, axis=-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow  # ~43s; forward visibility test covers the rasterizer, this adds the grad check
 def test_primary_visibility_gradients(sphere_scene):
     # camera at +z looking at origin (OpenCV world->cam pose)
     h = w = 64

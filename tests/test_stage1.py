@@ -107,6 +107,7 @@ def test_train_forward_and_grads(renderer_and_data):
     assert sum(float(jnp.sum(jnp.abs(g))) for g in gsdf) > 0
 
 
+@pytest.mark.slow  # ~42s; short-training test drives the same cond branches
 def test_occ_loss_cond_gating(renderer_and_data):
     renderer, params, batch = renderer_and_data
     rn = 64

@@ -109,6 +109,7 @@ def test_render_outputs_finite(stage2_setup):
     assert np.isfinite(float(out["gradient_error"]))
 
 
+@pytest.mark.slow  # ~260s CPU compile (full stage-2 grad graph); shell absorption-grad test compiles the same backward
 def test_stage2_grads_flow_to_trainables(stage2_setup):
     from nunerf_tpu.train.loss import compute_losses
 
@@ -176,6 +177,7 @@ def test_ray_trace_survives_saved_remeshed_mesh(tmp_path, stage2_setup):
     assert hit1 >= 0.9 * int(np.asarray(bounces[0]["conv"]).sum())
 
 
+@pytest.mark.slow  # ~49s; bg-sampling tail test covers the escape path forward
 def test_escaped_rays_get_stage1_white_fill(stage2_setup, monkeypatch):
     """is_nerf scenes: stage-1 closes every ray with a white (1-acc) fill
     (stage1.render_core, renderer.py:843); escaped stage-2 lanes must render

@@ -151,6 +151,7 @@ def test_absorption_param_and_transmission_dimming(shell_setup):
     assert np.all(np.isfinite(np.asarray(hi)))
 
 
+@pytest.mark.slow  # compiles the full shell backward; the dimming test covers the forward term
 def test_absorption_grad_reaches_kappa_and_thickness(shell_setup):
     """The Beer-Lambert term must backprop to kappa AND (through the chord
     length) to the thickness net — that is the whole point of item 3."""

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nunerf_tpu.ops.chamfer import chamfer_distance, chamfer_distance_np
 from nunerf_tpu.train.lr import warm_up_cos_schedule
@@ -66,6 +67,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(chex_flat1) == len(chex_flat2)
 
 
+@pytest.mark.slow  # ~100s; trainer roundtrip/resume tests drive the same step
 def test_golden_steps_deterministic():
     """Same seed + same data -> identical loss trajectory (SURVEY item e)."""
     import optax

@@ -60,7 +60,26 @@ def main():
         "ior_field_std": float(ior_x.std()),
         "thickness_field_std": float(thick_x.std()),
     }
+
+    if "absorption" in train:
+        # learned Beer-Lambert kappa (round 5).  GT kappa is recorded per
+        # CANONICAL world unit (tools/synth_nested.py); the renderer's chords
+        # live in the normalized database frame for colmap scenes, so the
+        # comparable GT is kappa / norm_scale.
+        kappa = np.asarray(jnp.asarray(train["absorption"]))
+        kappa = np.log1p(np.exp(kappa))  # softplus, matches stage2.render
+        out["learned_kappa"] = [float(k) for k in kappa]
+        if "glass_kappa" in meta:
+            ns = meta.get("norm_scale", 1.0)
+            out["gt_kappa_normalized"] = [float(k) / ns
+                                          for k in meta["glass_kappa"]]
+
     print(json.dumps(out))
+    os.makedirs("runs", exist_ok=True)
+    out_fp = os.path.join("runs", f"eval_shell_{cfg['name']}.json")
+    with open(out_fp, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {out_fp}")
 
 
 if __name__ == "__main__":
