@@ -56,7 +56,8 @@ def cmd_extract_mesh_stage1(args):
     verts, tris = extract_geometry(sdf_fn, resolution=args.resolution,
                                    bound=1.0, threshold=0.0, outside_val=1.0)
     os.makedirs("data/meshes", exist_ok=True)
-    out = f"data/meshes/{name}-{step}.ply"
+    tag = f"_{args.tag}" if getattr(args, "tag", None) else ""
+    out = f"data/meshes/{name}-{step}{tag}.ply"
     # The reference flips faces before export (extract_mesh_stage1.py:44)
     # because PyMCubes winds them inward for its SDF convention; our
     # marching-tets extraction already yields OUTWARD-wound faces
@@ -64,7 +65,7 @@ def cmd_extract_mesh_stage1(args):
     # would invert every vertex normal the stage-2 refraction relies on.
     save_ply(out, verts, tris)
     verts_s, tris_s = isotropic_remesh(verts, tris)
-    save_ply(f"data/meshes/{name}-{step}_simplified.ply", verts_s, tris_s)
+    save_ply(f"data/meshes/{name}-{step}{tag}_simplified.ply", verts_s, tris_s)
     print(f"wrote {out} ({verts.shape[0]} verts) + simplified")
 
 
@@ -149,6 +150,50 @@ def cmd_postprocess_outer(args):
     out = args.output or args.input.replace(".ply", "_outer.ply")
     save_ply(out, v2, t2)
     print(f"outer filter: {stats} -> {out}")
+
+
+def cmd_hull_mesh(args):
+    """Convex hull of a mesh's vertices — the round-5 bootstrap mask prior
+    (see nunerf_tpu/tools/outer_filter.py convex_hull_mesh): render-mask on
+    the hull recovers the full container silhouette from a fragmentary
+    first-pass reconstruction."""
+    from nunerf_tpu.tools.outer_filter import convex_hull_mesh
+    from nunerf_tpu.tracing.mesh_ops import load_ply, save_ply
+
+    verts, _ = load_ply(args.input)
+    hv, ht = convex_hull_mesh(verts)
+    out = args.output or args.input.replace(".ply", "_hull.ply")
+    save_ply(out, hv, ht)
+    print(f"hull: {len(verts)} verts -> {len(hv)} verts / {len(ht)} faces"
+          f" -> {out}")
+
+
+def cmd_silhouette_prior(args):
+    """Bootstrap silhouette prior for real captures (round 5): convex hull
+    of the density-filtered COLMAP object cloud (the same
+    object_point_cloud.ply the database normalizes with,
+    reference database.py:387-391).  render-mask on the result gives the
+    container silhouette an unmasked first stage-1 pass cannot recover
+    (transparent outers dissolve; measured 49% GT silhouette coverage from
+    the pass-1 mesh vs 99.7% IoU from this prior on the synthetic capture)."""
+    from nunerf_tpu.config import load_cfg
+    from nunerf_tpu.data.database import parse_database_name
+    from nunerf_tpu.tools.outer_filter import density_filtered_hull
+    from nunerf_tpu.tracing.mesh_ops import save_ply
+
+    cfg = load_cfg(args.cfg)
+    db = parse_database_name(cfg["database_name"], cfg["dataset_dir"])
+    if not hasattr(db, "ref_points"):
+        raise SystemExit("silhouette-prior needs a COLMAP-style database "
+                         "with an object point cloud")
+    hv, ht = density_filtered_hull(db.ref_points, k=args.knn,
+                                   thresh=args.thresh)
+    out = args.output or os.path.join(
+        "data/meshes", f"{cfg['name']}_silhouette.ply")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_ply(out, hv, ht)
+    print(f"silhouette prior: {len(db.ref_points)} cloud pts -> hull "
+          f"{len(hv)} verts / {len(ht)} faces -> {out}")
 
 
 def cmd_relight(args):
@@ -358,6 +403,9 @@ def main(argv=None):
     sp.add_argument("--cfg", required=True)
     sp.add_argument("--resolution", type=int, default=1024)
     sp.add_argument("--ckpt", default=None)
+    sp.add_argument("--tag", default=None,
+                    help="suffix for the output mesh name (keeps a res-1024 "
+                         "extraction from clobbering the training mesh)")
     sp.set_defaults(fn=cmd_extract_mesh_stage1)
 
     sp = sub.add_parser("extract-mesh-stage2")
@@ -382,6 +430,18 @@ def main(argv=None):
     sp.add_argument("--output", default=None)
     sp.add_argument("--threshold", type=float, default=0.055)
     sp.set_defaults(fn=cmd_postprocess_stage2)
+
+    sp = sub.add_parser("hull-mesh")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(fn=cmd_hull_mesh)
+
+    sp = sub.add_parser("silhouette-prior")
+    sp.add_argument("--cfg", required=True)
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--knn", type=int, default=5)
+    sp.add_argument("--thresh", type=float, default=2.0)
+    sp.set_defaults(fn=cmd_silhouette_prior)
 
     sp = sub.add_parser("postprocess-outer")
     sp.add_argument("--input", required=True)

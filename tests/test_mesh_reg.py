@@ -140,3 +140,20 @@ def test_outer_filter_drops_interior_surface():
     # every kept face sits on (or just around) the outer sphere band
     assert float((r_out > 0.4).mean()) > 0.99
     assert stats["faces_out"] < stats["faces_in"]
+
+
+def test_density_filtered_hull_rejects_halo():
+    """Round-5 bootstrap silhouette prior: sparse outlier halo points must
+    not survive into the hull (nunerf_tpu/tools/outer_filter.py)."""
+    import numpy as np
+    from nunerf_tpu.tools.outer_filter import density_filtered_hull
+
+    rs = np.random.RandomState(0)
+    surf = rs.randn(3000, 3)
+    surf /= np.linalg.norm(surf, axis=-1, keepdims=True)
+    surf *= 0.8
+    halo = rs.randn(120, 3)
+    halo /= np.linalg.norm(halo, axis=-1, keepdims=True)  # radius 1 > 0.8
+    hv, ht = density_filtered_hull(np.concatenate([surf, halo], 0))
+    assert np.linalg.norm(hv, axis=-1).max() < 0.85
+    assert len(ht) > 100

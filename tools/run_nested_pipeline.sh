@@ -89,11 +89,29 @@ real_front() {
   python -m nunerf_tpu.cli mask-erosion --cfg configs/shape/real/nested_real.yaml
 }
 
+res1024() {
+  # Reference stage-1 extraction contract: marching res 1024
+  # (extract_mesh_stage1.py:56); --tag keeps it from clobbering the meshes
+  # the 512-res legs produced.  The follow-up render-mask on the RAW mesh
+  # drives the scaled tile index at production (multi-million-tri) sizes.
+  echo "=== res-1024 stage-1 extraction ==="
+  python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/nerf/nested.yaml --resolution 1024 --tag r1024
+  echo "=== full-res render-mask on the raw res-1024 mesh ==="
+  python -m nunerf_tpu.cli render-mask --cfg configs/shape/nerf/nested.yaml \
+      --mesh_path data/meshes/nested-30000_r1024.ply
+}
+
 real_boot() {
-  # round-5 bootstrap second pass (VERDICT item 1): consume the silhouette
-  # masks rendered from the first-pass mesh at weight 0.5 — the proven
-  # anti-dissolution fix — then regenerate masks from the (good) bootstrap
-  # mesh for stage-2.
+  # round-5 bootstrap second pass (VERDICT item 1): the pass-1 mesh's own
+  # silhouette under-covers the dissolved container (measured 49%), so the
+  # acc target comes from the density-filtered COLMAP-cloud hull
+  # (silhouette IoU 0.997 on this capture) at weight 0.5 — the proven
+  # anti-dissolution fix — then masks are regenerated from the (good)
+  # bootstrap mesh for stage-2.
+  echo "=== silhouette prior masks (COLMAP-cloud hull) ==="
+  python -m nunerf_tpu.cli silhouette-prior --cfg configs/shape/real/nested_real.yaml
+  python -m nunerf_tpu.cli render-mask --cfg configs/shape/real/nested_real.yaml \
+      --mesh_path data/meshes/nested_real_silhouette.ply
   echo "=== bootstrap stage-1 train (rawmask, weight 0.5) ==="
   python -m nunerf_tpu.cli train --cfg configs/shape/real/nested_real_boot.yaml
   echo "=== bootstrap extract outer mesh ==="
