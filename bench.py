@@ -53,7 +53,7 @@ BENCH_CFG = {
 }
 
 
-def main():
+def run(rn_override=None, quiet=False, profile_logdir=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -62,14 +62,16 @@ def main():
     from nunerf_tpu.parallel.mesh import make_mesh, replicated, shard_batch
     from nunerf_tpu.train.loss import compute_losses
 
+    cfg = (BENCH_CFG if rn_override is None
+           else dict(BENCH_CFG, train_ray_num=int(rn_override)))
     mesh = make_mesh()
-    renderer = ShapeRenderer(BENCH_CFG)
+    renderer = ShapeRenderer(cfg)
     params = jax.device_put(renderer.init_params(jax.random.PRNGKey(0)),
                             replicated(mesh))
     optimizer = optax.adam(5e-4)
     opt_state = jax.device_put(optimizer.init(params), replicated(mesh))
 
-    rn = BENCH_CFG["train_ray_num"]
+    rn = int(rn_override or BENCH_CFG["train_ray_num"])
     rs = np.random.RandomState(0)
     origins = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (rn, 1))
     targets = rs.randn(rn, 3).astype(np.float32) * 0.3
@@ -135,6 +137,15 @@ def main():
     rays_per_sec = n_chunks * CHUNK * rn / dt
     step_ms = dt / (n_chunks * CHUNK) * 1e3
 
+    if profile_logdir:
+        # trace ONE steady-state chunk of the exact step just timed
+        # (tools/prof_trace.py parses the xplane into measured utilization)
+        with jax.profiler.trace(profile_logdir):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = jitted(params, opt_state, batch, sub,
+                                             step)
+            float(loss)
+
     # Roofline visibility (VERDICT: report measured MFU per round).  XLA's
     # compiled cost_analysis under-reports through the remote-AOT path
     # (returned 0.5% at measured throughputs that imply ~10x that), so the
@@ -158,7 +169,7 @@ def main():
         return tree
 
     host_params = jax.device_get(params)
-    R = BENCH_CFG["train_ray_num"]
+    R = rn
     F, B = 16, 16                       # n_front/back_samples defaults
     I = BENCH_CFG["n_samples"] + BENCH_CFG["n_importance"]
     NBG = BENCH_CFG["n_bg_samples"]
@@ -192,7 +203,13 @@ def main():
     }
     if mfu is not None:
         out["mfu_bf16_analytic"] = round(mfu, 4)
-    print(json.dumps(out))
+    if not quiet:
+        print(json.dumps(out))
+    return out
+
+
+def main():
+    run()
 
 
 if __name__ == "__main__":

@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 RAYS_PER_DEV = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
 

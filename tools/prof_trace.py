@@ -20,102 +20,86 @@ import time
 
 import numpy as np
 
-
-def build_step(rn: int = 1024, chunk: int = 50):
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from bench import BENCH_CFG
-    from nunerf_tpu.models.stage1 import ShapeRenderer
-    from nunerf_tpu.train.loss import compute_losses
-
-    cfg = dict(BENCH_CFG, train_ray_num=rn)
-    renderer = ShapeRenderer(cfg)
-    params = renderer.init_params(jax.random.PRNGKey(0))
-    optimizer = optax.adam(5e-4)
-    opt_state = optimizer.init(params)
-
-    rs = np.random.RandomState(0)
-    o = np.tile(np.array([[0, 0, -2.5]], np.float32), (rn, 1))
-    tg = rs.randn(rn, 3).astype(np.float32) * 0.3
-    d = tg - o
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    batch = {"rays_o": jnp.asarray(o), "rays_d": jnp.asarray(d),
-             "near": jnp.full((rn, 1), 0.8), "far": jnp.full((rn, 1), 4.5),
-             "rgbs": jnp.asarray(rs.rand(rn, 3), jnp.float32),
-             "masks": jnp.ones((rn,))}
-
-    def loss_fn(p, rng, step):
-        outputs = renderer.train_outputs(p, batch, rng, step)
-        return compute_losses(outputs, batch, step, renderer.cfg)["loss_total"]
-
-    def one(p, s, rng, step):
-        g = jax.grad(loss_fn)(p, rng, step)
-        up, s = optimizer.update(g, s, p)
-        return optax.apply_updates(p, up), s
-
-    def chunked(p, s, rng):
-        def body(carry, i):
-            return one(*carry, jax.random.fold_in(rng, i),
-                       jnp.asarray(25000, jnp.int32)), None
-        (p, s), _ = jax.lax.scan(body, (p, s), jnp.arange(chunk))
-        return p, s
-
-    f = jax.jit(chunked, donate_argnums=(0, 1))
-    return f, params, opt_state
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
 def parse_trace(logdir: str) -> dict:
-    """Extract utilization numbers from the captured xplane via
-    tensorboard_plugin_profile (best-effort across proto versions: dump the
-    overview-page JSON and scan it for utilization/bandwidth fields)."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    """Parse the captured xplane DIRECTLY (the shipped
+    tensorboard_plugin_profile binding mismatches this TF build): sum the
+    per-op cost-analysis stats (flops, bytes_accessed) over the device op
+    stream and divide by the device-busy window from the Steps line, against
+    the plane's own hardware peaks.  bytes_accessed is XLA cost analysis
+    (operand+output bytes across memory spaces, VMEM hits included), so the
+    HBM utilization is an UPPER bound; flops/peak is exact for MFU."""
+    import glob
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(
         logdir, "plugins/profile/*/*.xplane.pb")))
     if not paths:
         return {"error": f"no xplane.pb under {logdir}"}
-    out = {"xplane": paths[-1]}
-    for tool in ("overview_page^", "op_profile^"):
-        try:
-            data, _ = rttd.xspace_to_tool_data([paths[-1]], tool, {})
-            if isinstance(data, bytes):
-                data = data.decode("utf-8", "replace")
-            fp = os.path.join("runs", f"prof_{tool.rstrip('^')}.json")
-            with open(fp, "w") as f:
-                f.write(data if isinstance(data, str) else json.dumps(data))
-            out[tool.rstrip("^")] = fp
-        except Exception as e:  # tool availability differs per tbp version
-            out[tool.rstrip("^") + "_error"] = f"{type(e).__name__}: {e}"
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    dev = next((pl for pl in xs.planes if pl.name.startswith("/device:")),
+               None)
+    if dev is None:
+        return {"error": "no device plane in trace (host-only capture)"}
+    mds = {k: v.name for k, v in dev.stat_metadata.items()}
 
-    # scan the overview page for the utilization fields (schema is a nested
-    # list-of-dicts "data table"; walk it generically)
-    fp = out.get("overview_page")
-    if fp:
-        try:
-            blob = json.load(open(fp))
+    def stat_val(st):
+        return (st.double_value or st.int64_value or st.uint64_value or 0)
 
-            def walk(node, found):
-                if isinstance(node, dict):
-                    for k, v in node.items():
-                        kl = str(k).lower()
-                        if isinstance(v, (str, int, float)) and any(
-                                s in kl for s in
-                                ("util", "bandwidth", "duty", "flop_rate",
-                                 "mxu")):
-                            found[k] = v
-                        else:
-                            walk(v, found)
-                elif isinstance(node, list):
-                    for v in node:
-                        walk(v, found)
+    peaks = {mds[st.metadata_id]: stat_val(st) for st in dev.stats
+             if st.metadata_id in mds}
+    lines = {l.name: l for l in dev.lines}
+    steps = lines.get("Steps") or lines.get("XLA Modules")
+    busy_s = sum(e.duration_ps for e in steps.events) / 1e12 if steps else 0.0
+    wall_s = 0.0
+    if steps and steps.events:
+        ev = sorted(steps.events, key=lambda e: e.offset_ps)
+        wall_s = (ev[-1].offset_ps + ev[-1].duration_ps - ev[0].offset_ps) / 1e12
 
-            found = {}
-            walk(blob, found)
-            out["fields"] = found
-        except Exception as e:
-            out["fields_error"] = f"{type(e).__name__}: {e}"
+    # flops / bytes_accessed live on the per-op EVENT METADATA (one entry
+    # per HLO op); each timeline event references its metadata id
+    md_flops, md_bytes = {}, {}
+    for k, m in dev.event_metadata.items():
+        for st in m.stats:
+            name = mds.get(st.metadata_id)
+            if name == "flops":
+                md_flops[k] = st.int64_value or st.uint64_value
+            elif name == "bytes_accessed":
+                md_bytes[k] = st.int64_value or st.uint64_value
+
+    flops = bytes_acc = 0
+    ops = lines.get("XLA Ops")
+    op_busy_s = 0.0
+    if ops:
+        for e in ops.events:
+            op_busy_s += e.duration_ps / 1e12
+            flops += md_flops.get(e.metadata_id, 0)
+            bytes_acc += md_bytes.get(e.metadata_id, 0)
+
+    peak_tf = peaks.get("peak_teraflops_per_second", 0.0)
+    peak_hbm = peaks.get("peak_hbm_bw_gigabytes_per_second", 0.0)
+    out = {
+        "xplane": paths[-1],
+        "device_busy_s": round(busy_s, 4),
+        "device_wall_s": round(wall_s, 4),
+        "device_duty_cycle": round(busy_s / wall_s, 4) if wall_s else None,
+        "peak_tflops_per_s": peak_tf,
+        "peak_hbm_gbps": round(peak_hbm, 1),
+        "measured_tflops_per_s": round(flops / busy_s / 1e12, 3)
+        if busy_s else None,
+        "measured_bytes_per_s_gb": round(bytes_acc / busy_s / 1e9, 1)
+        if busy_s else None,
+    }
+    if busy_s and peak_tf:
+        out["mfu_measured"] = round(flops / busy_s / 1e12 / peak_tf, 4)
+    if busy_s and peak_hbm:
+        out["hbm_bw_utilization_upper_bound"] = round(
+            bytes_acc / busy_s / 1e9 / peak_hbm, 4)
     return out
 
 
@@ -124,22 +108,14 @@ def main():
 
     logdir = sys.argv[1] if len(sys.argv) > 1 else "runs/prof_trace"
     os.makedirs(logdir, exist_ok=True)
-    f, params, opt_state = build_step()
 
-    # compile + warm
-    params, opt_state = f(params, opt_state, jax.random.PRNGKey(1))
-    jax.tree.map(lambda x: x.block_until_ready(), params)
+    from bench import run
 
-    t0 = time.perf_counter()
-    with jax.profiler.trace(logdir):
-        params, opt_state = f(params, opt_state, jax.random.PRNGKey(2))
-        jax.tree.map(lambda x: x.block_until_ready(), params)
-    dt = time.perf_counter() - t0
+    bench_out = run(quiet=True, profile_logdir=logdir)
 
     result = {"platform": jax.devices()[0].platform,
               "device": str(jax.devices()[0]),
-              "traced_chunk_s": round(dt, 3),
-              "step_ms": round(dt / 50 * 1e3, 2)}
+              "bench": bench_out}
     result.update(parse_trace(logdir))
     os.makedirs("runs", exist_ok=True)
     with open("runs/prof_trace.json", "w") as fjs:
