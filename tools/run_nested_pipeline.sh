@@ -20,6 +20,8 @@ front() {
   echo "=== eval outer geometry ==="
   python -m nunerf_tpu.cli eval-geometry \
       --mesh data/meshes/nested-30000_simplified.ply --gt datasets/nested/gt_outer.npy
+  echo "=== stage-1 test-split eval ==="
+  python -m nunerf_tpu.cli eval-images --cfg configs/shape/nerf/nested.yaml --split test
 }
 
 stage2() {
@@ -51,6 +53,8 @@ shell_front() {
   python -m nunerf_tpu.cli postprocess-outer --input data/meshes/nested_shell-30000_simplified.ply
   python -m nunerf_tpu.cli eval-geometry \
       --mesh data/meshes/nested_shell-30000_simplified_outer.ply --gt datasets/nested_shell/gt_outer.npy
+  echo "=== shell stage-1 test-split eval ==="
+  python -m nunerf_tpu.cli eval-images --cfg configs/shape/nerf/nested_shell.yaml --split test
 }
 
 shell_stage2() {
@@ -67,6 +71,8 @@ shell_stage2() {
       --input "$inner" --outer data/meshes/nested_shell-30000_simplified_outer.ply
   python -m nunerf_tpu.cli eval-geometry \
       --mesh "${inner%.ply}_post.ply" --gt datasets/nested_shell/gt_inner.npy
+  echo "=== shell stage-2 test-split eval ==="
+  python -m nunerf_tpu.cli eval-images --cfg configs/stage2/nerf/nested_shell.yaml --split test
 }
 
 real_front() {
