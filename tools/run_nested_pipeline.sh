@@ -133,6 +133,18 @@ real_boot() {
   python -m nunerf_tpu.cli eval-images --cfg configs/shape/real/nested_real_boot.yaml --split test
 }
 
+real_boot_ext() {
+  # appearance fine-tune extension of the bootstrap pass (resumes from the
+  # 20k checkpoint under the extended 32k cosine), then re-extract + re-eval
+  echo "=== bootstrap stage-1 extension train ==="
+  python -m nunerf_tpu.cli train --cfg configs/shape/real/nested_real_boot.yaml
+  python -m nunerf_tpu.cli extract-mesh-stage1 --cfg configs/shape/real/nested_real_boot.yaml --resolution 384
+  python -m nunerf_tpu.cli postprocess-outer --input data/meshes/nested_real_boot-32000_simplified.ply
+  python -m nunerf_tpu.cli eval-geometry \
+      --mesh data/meshes/nested_real_boot-32000_simplified_outer.ply --gt datasets/nested_real/gt_outer.npy
+  python -m nunerf_tpu.cli eval-images --cfg configs/shape/real/nested_real_boot.yaml --split test
+}
+
 real_stage2() {
   local budget="${1:?usage: real_stage2 <timeout_s>}"
   echo "=== real shell stage-2 train (budget ${budget}s) ==="
