@@ -129,8 +129,9 @@ real_boot() {
   python -m nunerf_tpu.cli render-mask --cfg configs/shape/real/nested_real_boot.yaml \
       --mesh_path data/meshes/nested_real_boot-20000_simplified_outer.ply
   python -m nunerf_tpu.cli mask-erosion --cfg configs/shape/real/nested_real_boot.yaml
-  echo "=== bootstrap stage-1 test-split eval ==="
-  python -m nunerf_tpu.cli eval-images --cfg configs/shape/real/nested_real_boot.yaml --split test
+  echo "=== bootstrap stage-1 test-split eval (final model) ==="
+  python -m nunerf_tpu.cli eval-images --cfg configs/shape/real/nested_real_boot.yaml --split test \
+      --ckpt data/model/nested_real_boot/model.ckpt
 }
 
 real_boot_ext() {
@@ -142,7 +143,8 @@ real_boot_ext() {
   python -m nunerf_tpu.cli postprocess-outer --input data/meshes/nested_real_boot-32000_simplified.ply
   python -m nunerf_tpu.cli eval-geometry \
       --mesh data/meshes/nested_real_boot-32000_simplified_outer.ply --gt datasets/nested_real/gt_outer.npy
-  python -m nunerf_tpu.cli eval-images --cfg configs/shape/real/nested_real_boot.yaml --split test
+  python -m nunerf_tpu.cli eval-images --cfg configs/shape/real/nested_real_boot.yaml --split test \
+      --ckpt data/model/nested_real_boot/model.ckpt
 }
 
 real_stage2() {
