@@ -300,3 +300,18 @@ def diff_intersect(rays_o, rays_d, tv0, tv1, tv2):
     t = jnp.sum(qvec * e2, axis=-1, keepdims=True) * inv_det
     valid = (jnp.abs(det[..., 0]) > 1e-12)
     return t, u, v, valid
+
+
+def auto_tile_params(n_tris: int) -> Tuple[int, int]:
+    """√n tile law (round 5): tile grows with mesh size so the tile count —
+    and with it the per-ray slab sweep and nearest-first sort — stays ~√n
+    instead of linear (fixed 128-tri tiles measured 963× time for 16×
+    triangles, docs/perf_notes.md r4; the reference's BVH pays log depth,
+    bvh.cu:526-610).  The 2.7 divisor keeps the tuned 117k-tri operating
+    point (tile=128) unchanged; group shrinks for big tiles so the per-round
+    candidate gather stays ~4k triangles.  Returns (tile, group)."""
+    import numpy as np
+    t_pow = int(round(np.log2(max(np.sqrt(n_tris) / 2.7, 128.0))))
+    tile = int(np.clip(2 ** t_pow, 128, 2048))
+    group = max(4, min(16, 4096 // tile))
+    return tile, group

@@ -76,10 +76,8 @@ class Scene:
             # instead, bvh.cu:526-610).  The divisor keeps the tuned 117k-tri
             # operating point (tile=128) unchanged; group shrinks for big
             # tiles so the per-round candidate gather stays ~4k triangles.
-            n = len(self.tris_np)
-            t_pow = int(round(np.log2(max(np.sqrt(n) / 2.7, 128.0))))
-            cull_tile = int(np.clip(2 ** t_pow, 128, 2048))
-            self.cull_group = max(4, min(16, 4096 // cull_tile))
+            from nunerf_tpu.tracing.intersect import auto_tile_params
+            cull_tile, self.cull_group = auto_tile_params(len(self.tris_np))
             self.tile_index = build_tile_index(
                 self.verts_np, self.tris_np, tile=cull_tile,
                 group=self.cull_group)

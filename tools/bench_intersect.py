@@ -49,8 +49,8 @@ def main():
 
     import jax
     from nunerf_tpu.tracing.intersect import (
-        build_tile_index, pad_triangles, ray_mesh_intersect,
-        ray_mesh_intersect_culled)
+        auto_tile_params, build_tile_index, pad_triangles,
+        ray_mesh_intersect, ray_mesh_intersect_culled)
 
     rs = np.random.RandomState(0)
     o = rs.uniform(-1.5, 1.5, (args.rays, 3)).astype(np.float32)
@@ -63,12 +63,14 @@ def main():
         nt = len(tris)
         v0, e1, e2 = pad_triangles(verts, tris, 2048)
         t_brute = bench(ray_mesh_intersect, o, d, v0, e1, e2) if nt < 2_000_000 else float("nan")
-        idx = build_tile_index(verts, tris)
-        t_cull = bench(ray_mesh_intersect_culled, o, d, idx)
+        tile, group = auto_tile_params(nt)   # the law Scene uses (round 5)
+        idx = build_tile_index(verts, tris, tile=tile, group=group)
+        from functools import partial as _partial
+        t_cull = bench(_partial(ray_mesh_intersect_culled, group=group), o, d, idx)
         # correctness spot check
         h_b = ray_mesh_intersect(np.ascontiguousarray(o[:256]),
                                  np.ascontiguousarray(d[:256]), v0, e1, e2)
-        h_c = ray_mesh_intersect_culled(o[:256], d[:256], idx)
+        h_c = ray_mesh_intersect_culled(o[:256], d[:256], idx, group=group)
         ok = bool(np.allclose(np.asarray(h_b.t), np.asarray(h_c.t),
                               rtol=1e-6, atol=1e-6))
         rows.append((nt, t_brute * 1e3, t_cull * 1e3, ok))
