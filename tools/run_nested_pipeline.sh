@@ -158,7 +158,7 @@ real_stage2() {
   local inner
   inner=$(ls -t data/meshes/nested_real_s2-*-inner.ply | head -1)
   python -m nunerf_tpu.cli postprocess-stage2 \
-      --input "$inner" --outer data/meshes/nested_real-20000_simplified_outer.ply
+      --input "$inner" --outer data/meshes/nested_real_boot-20000_simplified_outer.ply
   python -m nunerf_tpu.cli eval-geometry \
       --mesh "${inner%.ply}_post.ply" --gt datasets/nested_real/gt_inner.npy
   python -m nunerf_tpu.cli eval-images --cfg configs/stage2/real/nested_real.yaml --split test
