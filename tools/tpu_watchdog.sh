@@ -23,10 +23,18 @@ wait_up() {
 
 run_leg() {
   local leg="$1" tries=0
+  # execute a PRIVATE COPY of the pipeline script: bash reads scripts
+  # incrementally, so editing the original while a leg runs would make the
+  # running shell re-execute from a shifted byte offset (observed round 5:
+  # a mid-run edit made a finished leg re-invoke itself)
+  # (inside tools/ so the script's own `cd $(dirname $0)/..` still lands
+  # at the repo root; .gitignored)
+  local snap="tools/.leg_snapshot_$$_${tries}_$RANDOM.sh"
+  cp tools/run_nested_pipeline.sh "$snap"
   while [ $tries -lt 8 ]; do
     tries=$((tries + 1))
     wait_up
-    setsid bash tools/run_nested_pipeline.sh $leg &
+    setsid bash "$snap" $leg &
     local pid=$!
     local fails=0 killed=0
     # stall detector: a leg that hung mid-RPC during a *transient* drop never
