@@ -689,7 +689,18 @@ class Stage2Renderer:
             # optical-path-length cue for the thickness/IoR fields instead
             # of veil fodder for the light fields (round-4 verdict item 3).
             if "chord" in b and self.cfg.get("learn_absorption", False):
-                kappa = jax.nn.softplus(params["train"]["absorption"])
+                # freeze gate (round-5 finding, runs shell_s2 r5a): while the
+                # inner NeuS is soft its fog paints the rim tint with more
+                # dof than 3-channel kappa, and kappa decays 0.127 -> 0.01
+                # before the hardening floor kills the fog.  Hold kappa at
+                # its init until the surface hardens (same cure as
+                # IoR/thickness, see _freeze_flag).
+                frozen_kap = self._freeze_flag(
+                    params["train"], step, "freeze_absorption_step",
+                    "freeze_absorption_inv_s")
+                raw = self._maybe_freeze(params["train"]["absorption"],
+                                         frozen_kap)
+                kappa = jax.nn.softplus(raw)
                 att = jnp.exp(-kappa[None, :] * b["chord"])
                 current_T = jnp.where(conv, current_T * att, current_T)
 

@@ -75,6 +75,23 @@ shell_stage2() {
   python -m nunerf_tpu.cli eval-images --cfg configs/stage2/nerf/nested_shell.yaml --split test
 }
 
+shell_stage2b() {
+  # round-5b: absorption-gated shell stage-2 (fresh run; see
+  # configs/stage2/nerf/nested_shell_b.yaml)
+  local budget="${1:?usage: shell_stage2b <timeout_s>}"
+  timeout "$budget" python -m nunerf_tpu.cli train --cfg configs/stage2/nerf/nested_shell_b.yaml
+  python tools/eval_shell.py --cfg configs/stage2/nerf/nested_shell_b.yaml \
+      --meta datasets/nested_shell/meta.json
+  python -m nunerf_tpu.cli extract-mesh-stage2 --cfg configs/stage2/nerf/nested_shell_b.yaml --resolution 256
+  local inner
+  inner=$(ls -t data/meshes/nested_shell_s2b-*-inner.ply | head -1)
+  python -m nunerf_tpu.cli postprocess-stage2 \
+      --input "$inner" --outer data/meshes/nested_shell-30000_simplified_outer.ply
+  python -m nunerf_tpu.cli eval-geometry \
+      --mesh "${inner%.ply}_post.ply" --gt datasets/nested_shell/gt_inner.npy
+  python -m nunerf_tpu.cli eval-images --cfg configs/stage2/nerf/nested_shell_b.yaml --split test
+}
+
 real_front() {
   # capture-style (COLMAP/CustomDatabase) hollow-glass scene: stage-1 with
   # the real conventions (NeRO rays, sphere_direction, normal_ori), outer
