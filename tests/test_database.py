@@ -149,3 +149,40 @@ def test_ply_points_roundtrip(tmp_path):
     fp = str(tmp_path / "p.ply")
     write_ply_points(fp, pts)
     np.testing.assert_allclose(read_ply_points(fp), pts)
+
+
+def test_custom_rawmask_suffix_reads_mask_dir(tmp_path):
+    """'custom/<scene>/<res>/rawmask' reads raw silhouettes from mask/
+    instead of the eroded trust-region masks (round-5 bootstrap)."""
+    import cv2
+
+    root = tmp_path / "obj"
+    _write_custom_scene(root)
+    db = parse_database_name("custom/obj/64", str(tmp_path))
+    img_id = db.get_img_ids()[0]
+    stem = os.path.splitext(db.get_image_name(img_id))[0]
+    os.makedirs(root / "mask", exist_ok=True)
+    os.makedirs(root / "mask_erosion", exist_ok=True)
+    cv2.imwrite(str(root / "mask" / f"{stem}.jpg"),
+                np.full((8, 8), 255, np.uint8))
+    cv2.imwrite(str(root / "mask_erosion" / f"{stem}.jpg"),
+                np.zeros((8, 8), np.uint8))
+
+    eroded = parse_database_name("custom/obj/64", str(tmp_path))
+    raw = parse_database_name("custom/obj/64/rawmask", str(tmp_path))
+    assert float(eroded.get_mask(img_id).max()) == 0.0
+    assert float(raw.get_mask(img_id).min()) == 1.0
+
+
+def test_test_split_holds_out_eighth(tmp_path):
+    """No-split-file databases hold out ~1/8 of views for --split test
+    (the reference's 128-of-1024 fraction), disjoint from the train ids."""
+    from nunerf_tpu.data.database import get_database_split
+
+    root = tmp_path / "obj"
+    _write_custom_scene(root, n=16)
+    db = parse_database_name("custom/obj/64", str(tmp_path))
+    train_ids, test_ids = get_database_split(db, "test")
+    assert len(test_ids) == 2
+    assert not set(train_ids) & set(test_ids)
+    assert len(train_ids) + len(test_ids) == 16
