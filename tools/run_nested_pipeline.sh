@@ -181,5 +181,12 @@ real_stage2() {
   python -m nunerf_tpu.cli eval-images --cfg configs/stage2/real/nested_real.yaml --split test
 }
 
+real_stage2_fresh() {
+  # rerun real stage-2 from scratch under the round-5 IoR inv_s gate
+  # (the r5a run drifted to 1.17 with the fixed-step release)
+  rm -rf data/model/nested_real_s2
+  real_stage2 "$1"
+}
+
 "$@"
 echo "PIPELINE LEG EXIT:$?"
