@@ -164,3 +164,31 @@ def test_short_training_decreases_loss(scene_dir, tmp_path):
 
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_acc_sdf_mask_loss_for_nonnerf(renderer_and_data):
+    """Round-5 bootstrap: with use_mask_loss on a non-nerf config, the mask
+    supervises acc_sdf (SDF-branch opacity) — total acc saturates under the
+    NeRF++ background and carries no silhouette signal."""
+    from nunerf_tpu.models.stage1 import ShapeRenderer
+
+    renderer, params, batch = renderer_and_data
+    cfg = dict(renderer.cfg, is_nerf=False, use_mask_loss=True)
+    r2 = ShapeRenderer(cfg)
+    n = 24
+    b = {k: (v[:n] if hasattr(v, "shape") and v.ndim >= 1 else v)
+         for k, v in batch.items()}
+    b["masks"] = jnp.zeros((n,), jnp.float32)
+    out = r2.train_outputs(params, b, jax.random.PRNGKey(0),
+                           step=jnp.asarray(100))
+    assert "loss_mask" in out
+    # zero-mask target: the loss equals mean(acc_sdf), NOT mean(acc)
+    np.testing.assert_allclose(float(out["loss_mask"]),
+                               float(jnp.mean(out["acc_sdf"])), rtol=1e-5)
+    assert float(jnp.mean(out["acc"])) > float(jnp.mean(out["acc_sdf"]))
+
+    # is_nerf keeps the reference semantics (total acc)
+    out_nerf = renderer.train_outputs(params, b, jax.random.PRNGKey(0),
+                                      step=jnp.asarray(100))
+    np.testing.assert_allclose(float(out_nerf["loss_mask"]),
+                               float(jnp.mean(out_nerf["acc"])), rtol=1e-5)
