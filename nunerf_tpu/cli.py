@@ -127,9 +127,30 @@ def cmd_postprocess_stage2(args):
     centers = verts[tris].mean(1)
     d = outer.unsigned_distance(centers)
     keep = d > args.threshold
+    tris = tris[keep]
+    n_dist = len(tris)
+    if getattr(args, "largest_component", False):
+        # round-5 option (net-new vs the reference's distance-only filter):
+        # a scheduled inv_s floor hardens residual NeuS fog into thin junk
+        # shells that survive the distance filter; they are disconnected
+        # from the inner object, so keep only the largest face-connected
+        # component
+        import scipy.sparse as sp
+        import scipy.sparse.csgraph as csg
+        f = np.arange(len(tris))
+        rows = np.concatenate([tris[:, 0], tris[:, 1], tris[:, 2]])
+        cols = np.concatenate([f, f, f])
+        m = sp.coo_matrix((np.ones(len(rows), np.int8), (rows, cols)),
+                          shape=(len(verts), len(tris)))
+        # faces sharing a vertex are connected: components of (F x F) graph
+        _, labels = csg.connected_components((m.T @ m) > 0, directed=False)
+        largest = np.bincount(labels).argmax()
+        tris = tris[labels == largest]
     save_ply(args.output or args.input.replace(".ply", "_post.ply"),
-             verts, tris[keep])
-    print(f"kept {keep.sum()}/{len(tris)} faces")
+             verts, tris)
+    print(f"kept {len(tris)}/{len(keep)} faces"
+          + (f" (distance filter: {n_dist})"
+             if getattr(args, "largest_component", False) else ""))
 
 
 def cmd_postprocess_outer(args):
@@ -429,6 +450,9 @@ def main(argv=None):
     sp.add_argument("--outer", required=True)
     sp.add_argument("--output", default=None)
     sp.add_argument("--threshold", type=float, default=0.055)
+    sp.add_argument("--largest-component", action="store_true",
+                    help="additionally keep only the largest face-connected "
+                         "component (drops inv_s-floor fog shells)")
     sp.set_defaults(fn=cmd_postprocess_stage2)
 
     sp = sub.add_parser("hull-mesh")
